@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * These play the role of the IQ user tables being migrated (reference:
+  * `/root/reference/Migration/migration.py:1691` inventories user tables from
+  * the server catalog; our "server" is Spark over parquet).
+  *
+  * Scale notes: `spark.read.parquet` is splittable — at 100 TB each table
+  * arrives as many row-group-aligned partitions, filters/projections are
+  * pushed to the scan, so nothing here caps parallelism.
+  */
+object Tables {
+
+  /** Every table the driver generates, in dependency-ish order. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    names.map(n => n -> load(spark, sfDir, n)).toMap
+
+  /** Register all tables as temp views so spark.sql can see them. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
