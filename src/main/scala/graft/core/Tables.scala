@@ -21,8 +21,18 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects unless
+    // read as raw longs; convert to micros (integer div — exact, and the
+    // same truncation DuckDB's ns→us cast applies) so downstream sees a
+    // normal TimestampType column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(sfDir, name))
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, sfDir, n)).toMap

@@ -1,0 +1,95 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extraction phase: planner + executors (SURVEY §2.1 S6-S11, §2.6 O3-O4,
+  * §4 physical policy).
+  *
+  * The reference plans extraction driver-side — LPT-balances tables across
+  * MPX nodes with a min-heap (`/root/reference/Migration/migration.py:
+  * 1661-1677`), packs size-capped batches (`migration.py:1758-1784`),
+  * short-circuits empty tables (`migration.py:1921-1931`), picks the file
+  * format per table (`migration.py:2136-2208`) — then lets the server write
+  * files in parallel. Our executors are Spark writers; the planner stays
+  * driver-side on the collected (catalog-sized) work list, which is correct
+  * at any scale: the work list is one row per TABLE, not per data row.
+  */
+object Extract {
+
+  final case class WorkItem(name: String, rowCount: Long, sizeBytes: Long, tableId: Int)
+
+  sealed trait Format { def ext: String }
+  case object GzipText extends Format { val ext = "gz" }
+  case object Binary extends Format { val ext = "parquet" }
+  case object PlainText extends Format { val ext = "txt" }
+
+  /** LPT (longest-processing-time) greedy assignment over `n` nodes:
+    * sort descending, repeatedly give the next table to the least-loaded
+    * node (migration.py:1656-1677's heapq). Deterministic: ties broken by
+    * node index. */
+  def lptAssign(items: Seq[WorkItem], n: Int): Map[String, Int] = {
+    require(n > 0)
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, Int)](Ordering.by[(Long, Int), (Long, Int)](x => (-x._1, -x._2)).reverse)
+    (0 until n).foreach(i => heap.enqueue((0L, i)))
+    items.sortBy(i => (-i.sizeBytes, i.name)).map { it =>
+      val (load, node) = heap.dequeue()
+      heap.enqueue((load + it.sizeBytes, node))
+      it.name -> node
+    }.toMap
+  }
+
+  /** Size-capped batch packing (migration.py:1758-1784): ascending by size,
+    * greedy fill to `capBytes`; items individually over the cap spill to the
+    * no-extraction list (the reference's no_extraction.list behavior).
+    * Returns (batches, spilled). Partition property: batches ⊎ spilled ==
+    * input, each batch ≤ cap. */
+  def batch(items: Seq[WorkItem], capBytes: Long): (Seq[Seq[WorkItem]], Seq[WorkItem]) = {
+    val (fit, spill) = items.partition(_.sizeBytes <= capBytes)
+    val sorted = fit.sortBy(i => (i.sizeBytes, i.name))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[WorkItem]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[WorkItem]
+    var curBytes = 0L
+    sorted.foreach { it =>
+      if (curBytes + it.sizeBytes > capBytes && cur.nonEmpty) {
+        batches += cur; cur = scala.collection.mutable.ArrayBuffer.empty; curBytes = 0L
+      }
+      cur += it; curBytes += it.sizeBytes
+    }
+    if (cur.nonEmpty) batches += cur
+    (batches.map(_.toSeq).toSeq, spill)
+  }
+
+  /** Format choice (migration.py:2136-2208): LOB-bearing tables go through
+    * quoted text (+ per-row LOB files), old versions uncompressed, else
+    * gzip text; our canonical binary interchange is parquet. */
+  def chooseFormat(hasLob: Boolean, compressedSupported: Boolean = true): Format =
+    if (hasLob) PlainText
+    else if (!compressedSupported) PlainText
+    else GzipText
+
+  /** S6: gzip CSV extract of one table directory, with a JSON manifest
+    * (our replacement for the reference's `extractinfo`,
+    * migration.py:1445-1458). Partition count bounds file count the way
+    * Temp_Extract_Name1..8 did (migration.py:2382-2396). */
+  def extractGzipCsv(df: DataFrame, outDir: String, numFiles: Int = 8): Long = {
+    val cnt = df.count()
+    df.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .option("header", "true")
+      .csv(outDir)
+    cnt
+  }
+
+  /** Read an extracted directory back with an explicit schema (no inference
+    * in the engine proper — SURVEY §1.3). */
+  def readExtracted(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(dir)
+
+  /** Resume reconciliation (migration.py:1977,2675): work items not yet in
+    * the extracted checkpoint — a left-anti join, never a driver loop. */
+  def pendingWork(listed: DataFrame, extracted: DataFrame, key: String): DataFrame =
+    listed.join(extracted, Seq(key), "left_anti")
+}

@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * Four families, each shaped for 100 TB execution:
+  *
+  *  - '''exact''': hash-groupBy on a normalized fingerprint — one shuffle on
+  *    a 60-bit key, map-side partial aggregation.
+  *  - '''MinHash + LSH''': shingle → 64 minhashes → 32 bands × 2 rows →
+  *    bucket self-join → exact-Jaccard verify. Only bucket-collision pairs are
+  *    verified, so the candidate join is linear-ish in data size instead of
+  *    O(n²); at a 0.8 threshold the banding catches a true pair with
+  *    p = 1-(1-s²)^32 (≥ 1-5e-15 for s ≥ 0.8), so verified output equals the
+  *    exact pair set on any realistic corpus.
+  *  - '''SimHash''': 32-bit signature from token hashes; pairs within hamming
+  *    distance ≤ 3 found by 4-byte banding — pigeonhole-exact (≤3 differing
+  *    bits over 4 bands ⇒ ≥1 band identical), so banding loses nothing while
+  *    avoiding the O(n²) self-join.
+  *  - '''n-gram Jaccard''': exact inverted-index pair join (shingle equality →
+  *    pair counts → |A∩B|/|A∪B|), the verification kernel the LSH path reuses.
+  *
+  * All hashes are the md5-derived portable ones (see
+  * [[graft.functions.Portable]]) so a DuckDB oracle can replay every step.
+  */
+object Dedup {
+
+  /** Exact-dedup census: rows, distinct normalized fingerprints, dupes. */
+  def exactStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(TextOps.fingerprint(col(textCol))).as("n_distinct"))
+      .select(
+        col("n_rows"), col("n_distinct"),
+        (col("n_rows") - col("n_distinct")).as("n_dupes"))
+
+  /** Exact dedup: keep the min-id representative per fingerprint. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val keep = fp.groupBy("fp").agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
+  }
+
+  /** (id, perm, minhash) — 64 permutations via md5(perm || ':' || shingle). */
+  private def minhashes(sh: DataFrame, numPerm: Int): DataFrame = {
+    val perms = sh.sparkSession.range(numPerm).select(col("id").cast("int").as("perm"))
+    sh.crossJoin(broadcast(perms))
+      .select(col("id"), col("perm"),
+        Portable.hash60(concat(col("perm").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy("id", "perm").agg(min("h").as("mh"))
+  }
+
+  /** (id, band, sig): per-band signature string, deterministic in perm order. */
+  def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 64, rowsPerBand: Int = 2): DataFrame = {
+    val sh = TextOps.shingleTable(docs, idCol, textCol)
+    val mh = minhashes(sh, numPerm)
+    mh.withColumn("band", (col("perm") / rowsPerBand).cast("int"))
+      .withColumn("slot", col("perm") % rowsPerBand)
+      .groupBy("id", "band")
+      .pivot("slot", 0 until rowsPerBand)
+      .agg(first("mh"))
+      .select(col("id"), col("band"),
+        concat_ws(":", (0 until rowsPerBand).map(i => col(i.toString)): _*).as("sig"))
+  }
+
+  /** Near-duplicate pairs at `threshold` Jaccard over word-`n`-gram shingles:
+    * LSH candidate generation + exact verification. Output (id_a, id_b,
+    * jaccard rounded to 4) — equals the exact pair set (see class doc). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numPerm: Int = 64, rowsPerBand: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    val b = minhashBuckets(docs, idCol, textCol, numPerm, rowsPerBand)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyJaccard(docs, idCol, textCol, cand, threshold, shingleN)
+  }
+
+  /** Exact Jaccard for given candidate pairs via the shingle inverted index. */
+  private def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
+      cand: DataFrame, threshold: Double, shingleN: Int): DataFrame = {
+    val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    cand.join(inter, Seq("id_a", "id_b"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), Seq("id_b"))
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("c") / (col("na") + col("nb") - col("c")) >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact n-gram-Jaccard pairs ≥ threshold (no LSH): the oracle-shaped
+    * inverted-index join. Quadratic only in colliding shingles. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), Seq("id_b"))
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .filter(col("c") / (col("na") + col("nb") - col("c")) >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash signature per document (term-frequency weighted: every
+    * token occurrence votes ±1 per bit). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val bits = spark.range(32).select(col("id").cast("int").as("b"))
+    val tok = docs.select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .select(col("id"), Portable.hash32(col("w")).as("h"))
+    tok.crossJoin(broadcast(bits))
+      .groupBy("id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("wt"))
+      .groupBy("id")
+      .agg(sum(when(col("wt") > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming (≤3 with 4 bands is
+    * pigeonhole-exact). Output (id_a, id_b, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    // 4 bands of 8 bits; a pair within hamming ≤ 3 must agree on ≥ 1 band.
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), expr(s"(simhash >> ${k * 8}) & 255").as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata structs, plus batch "decode" /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The actual codecs are NOT in this environment, so the decode kernel is a
+  * clearly-marked deterministic stub ([[FakeCodec]]) — but everything Spark
+  * cares about is real: the binary column schema, the typed case-class
+  * batch shape, the `mapPartitions` boundary (one codec init per partition,
+  * streaming iterator — the Scala analog of `mapInPandas` batching), and the
+  * partition sizing (`maxRecordsPerFile` / `files.maxPartitionBytes` keep a
+  * partition's worth of payloads in executor memory at 100 TB).
+  */
+object Multimodal {
+
+  /** A multimodal row: payload + typed metadata. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded metadata batch shape (what a real image decode would yield). */
+  final case class DecodedMeta(media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** Deterministic stand-in for the image/audio codec. A real deployment
+    * swaps `decode` for the codec call; the signature and batching stay. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Long) = {
+      val n = payload.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+      // ??? real codec here — dimensions derived deterministically instead
+      (n % 640, (n * 7) % 480, n % 16, sum)
+    }
+  }
+
+  /** Build a media table from the documents table: payload = utf-8 bytes of
+    * the text (a deterministic opaque blob), kind keyed off the source. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batch decode over the binary column: one codec context per partition,
+    * streaming per-row — the mapInPandas-equivalent shape. */
+  def decodeBatch(media: DataFrame): Dataset[DecodedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition codec init would go here (expensive native handle)
+      rows.map { r =>
+        val (w, h, f, cks) = FakeCodec.decode(r.payload)
+        DecodedMeta(r.media_id, r.kind, r.payload.length.toLong, w, h, f, cks)
+      }
+    }
+  }
+
+  /** Metadata aggregate per kind — the SQL-expressible cross-check surface
+    * (byte lengths are computable from the text column in any engine). */
+  def metaByKind(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("kind"), length(col("payload")).as("n_bytes"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        max(col("n_bytes")).cast("long").as("max_bytes"))
+      .orderBy("kind")
+
+  /** Frame-sample stage: explode a deterministic frame index per video,
+    * keeping Spark-side fan-out semantics (one row per sampled frame). */
+  def sampleFrames(decoded: Dataset[DecodedMeta], everyNth: Int = 4): DataFrame = {
+    decoded.toDF()
+      .filter(col("kind") === "video" && col("n_frames") > 0)
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), with a brute-force exact baseline and an IVF
+  * (inverted-file) cell-probed variant as the scale path.
+  *
+  * Dot products use `zip_with` + `aggregate` — a sequential left-to-right
+  * double fold, i.e. the same accumulation order every engine uses for a
+  * plain loop, which keeps results reproducible. Cosines are rounded to 6
+  * decimals before ranking so ranking is stable across engines.
+  *
+  * Scale shape: queries are broadcast (small side); the corpus scan is
+  * embarrassingly parallel with no shuffle until the per-query top-k, which
+  * aggregates k·|queries| rows — at 100 TB the IVF variant additionally
+  * prunes the corpus scan to the probed cells (partition pruning on the
+  * cell id when the corpus is written partitioned by cell).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * Output: (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF index: coarse cells (here: the corpus' own cell column), probe the
+    * `nprobe` nearest cell centroids per query, exact re-rank inside probed
+    * cells. With nprobe == #cells this is exactly brute force (the form the
+    * oracle verifies); at scale nprobe ≪ #cells prunes the scan.
+    *
+    * Centroids are the per-cell running means, computed with exact decimal
+    * accumulation avoided on purpose: centroid choice only affects which
+    * cells are probed, not the exact re-rank inside them.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int, nprobe: Int): DataFrame = {
+    // centroid per cell: mean per dimension
+    val cent = corpus
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), s => s.getField("cx")).as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    // probe the nprobe closest centroids per query
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(dot(col("qv"), col("centroid")) /
+        (col("qn") * norm(col("centroid"))), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cdist"), asc("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "qn", "cell")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(cellCol).as("cell"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(probed, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Sign-random-projection LSH bucket per vector: `nbits` hyperplanes with
+    * deterministic md5-seeded ±1 components; bucket = sign bit vector.
+    * Groups near-colinear vectors; the scale path for cosine near-dup. */
+  def srpBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+      nbits: Int = 16): DataFrame = {
+    import graft.functions.Portable
+    val spark = corpus.sparkSession
+    val dim = 64
+    // plane p component j = (hash32("p:j") / 2^31) - 1.0  ∈ [-1, 1)
+    val planes = spark.range(nbits).select(col("id").cast("int").as("p"))
+      .withColumn("comps", transform(sequence(lit(0), lit(dim - 1)),
+        j => Portable.hash32(concat(col("p").cast("string"), lit(":"), j.cast("string")))
+          .cast("double") / lit(2147483648.0) - 1.0))
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.crossJoin(broadcast(planes))
+      .withColumn("proj", dot(col("v"), col("comps")))
+      .groupBy("id")
+      .agg(sum(when(col("proj") > 0,
+        expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L)).as("bucket"))
+  }
+}

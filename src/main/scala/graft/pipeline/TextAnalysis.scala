@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: language-ID heuristic, quality scoring, token
+  * counting, fingerprinting. Pure Catalyst built-ins (regexp_count /
+  * regexp_extract_all / length) — codegen'd, pushdown-friendly, and each with
+  * an exact DuckDB spelling for the oracle.
+  */
+object TextAnalysis {
+
+  /** Marker word-lists per language for the n-gram/stopword heuristic.
+    * Deliberately tiny and fixed: the operator contract is determinism, not
+    * linguistic accuracy. */
+  val MARKERS: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|los|las|y|es)\\b")
+
+  private def score(textLc: Column, pattern: String): Column =
+    regexp_count(textLc, lit(pattern))
+
+  /** Predicted language: argmax marker count with fixed priority order
+    * (en > de > fr > es), 'und' when all zero. */
+  def langId(text: Column): Column = {
+    val lc = lower(text)
+    val scores = MARKERS.map { case (lang, pat) => lang -> score(lc, pat) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Quality features per document: char length, token count, mean token
+    * length, stopword ratio, non-alnum ratio — all rounded for stability. */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val lc = lower(txt)
+    val nTokens = size(regexp_extract_all(txt, lit("\\S+"), lit(0)))
+    val nStop = regexp_count(lc, lit("\\b(the|a|of|to|and|is|in)\\b"))
+    val nNonAlnum = regexp_count(lc, lit("[^a-z0-9\\s]"))
+    docs.select(
+      col(idCol),
+      length(txt).as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      round(length(regexp_replace(txt, "\\s+", "")).cast("double") /
+        greatest(nTokens, lit(1)), 4).as("mean_token_len"),
+      round(nStop.cast("double") / greatest(nTokens, lit(1)), 4).as("stopword_ratio"),
+      round(nNonAlnum.cast("double") / greatest(length(txt), lit(1)), 4).as("non_alnum_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword signal −
+    * symbol noise; deterministic arithmetic only. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityFeatures(docs, idCol, textCol)
+      .withColumn("quality",
+        round(least(lit(1.0),
+          col("n_tokens").cast("double") / 100.0 * 0.5 +
+            least(col("stopword_ratio") * 5.0, lit(0.3)) +
+            (lit(0.2) - least(col("non_alnum_ratio") * 2.0, lit(0.2)))), 4))
+
+  /** Token counts: whitespace tokens and BPE-ish sub-tokens
+    * (letter runs / digit runs / single symbols). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(txt, lit("\\S+"), lit(0))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(txt), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_ish_tokens"))
+  }
+}

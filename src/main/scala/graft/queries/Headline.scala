@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.Portable.{dsum, sqlDsum}
+
+/** Headline analytical queries (TPC-H-shaped) — the bench set. These are the
+  * plans that must survive a 100×–1000× scale-up: fact-side scans with
+  * pushed filters, broadcast dims, partial aggregation before the single
+  * shuffle, decimal-exact money math.
+  */
+object Headline {
+
+  /** Names of the queries Bench times. */
+  val benchNames: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_revenue",
+    "q6_forecast_revenue", "q10_returned_items", "q18_large_orders")
+
+  private val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+         |  ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(disc, 4).as("sum_disc_price"),
+          dsum(disc * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    QueryDef(
+      "q3_shipping_priority",
+      s"""SELECT l_orderkey, ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+         |  o_orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(disc, 4).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+
+    QueryDef(
+      "q5_local_revenue",
+      s"""SELECT n_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(disc, 4).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    QueryDef(
+      "q6_forecast_revenue",
+      s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.03 AND 0.09 AND l_quantity < 24.0""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.09) && col("l_quantity") < 24.0)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+    },
+
+    QueryDef(
+      "q10_returned_items",
+      s"""SELECT c_custkey, c_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+         |  n_name
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(disc, 4).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+
+    QueryDef(
+      "q18_large_orders",
+      s"""SELECT c_custkey, o_orderkey, o_orderdate,
+         |  CAST(o_totalprice AS DOUBLE) AS total_price, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+         |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("qdec"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("qdec") > 150)
+        .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("double").as("total_price"), col("sum_qty"))
+        .orderBy(desc("total_price"), asc("o_orderkey"))
+        .limit(20)
+    }
+  )
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, Tables}
+import graft.extract.Extract
+import graft.functions.Portable.{dsum, sqlDsum}
+import graft.load.Loader
+import graft.premigration.Checks
+import graft.rewrite.{ReloadFixture, Rewriter}
+
+/** Migration-phase operators as verifiable queries: statement segmentation
+  * (C1), the rewriter cascade (C2-C6), extract sink/source round-trip
+  * (S4/S6), load verify (C5), driver-side planners (O3/O4), premigration
+  * findings (§3.1).
+  */
+object Migration {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // C1: statement segmentation over the reload.sql fixture; oracle replays
+    // the running-`go`-count window over the identical VALUES literal.
+    QueryDef(
+      "c1_segmentation",
+      s"""SELECT CAST(line_no AS BIGINT) AS line_no,
+         |  CAST(coalesce(sum(CASE WHEN trim(lower(text)) = 'go' THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY line_no ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stmt_id
+         |FROM ${ReloadFixture.valuesLiteral} ORDER BY line_no""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val lines = ReloadFixture.lines.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("line_no", "text")
+      Rewriter.segment(lines).select("line_no", "stmt_id").orderBy("line_no")
+    },
+
+    // C2-C4: full rewrite cascade — classification flags per line. The rule
+    // regexes aren't DuckDB-SQL-expressible; golden-file ScalaTest covers
+    // content, this query pins the row surface (rows-only check).
+    QueryDef.rowsOnly("c2_rewrite_flags") { (s, _) =>
+      Rewriter.rewrite(s, ReloadFixture.lines).toDF()
+        .select("line_no", "stmt_id", "commented", "is_fk")
+        .orderBy("line_no")
+    },
+
+    // O3: LPT node assignment (driver-side planner over the catalog-sized
+    // work list; deterministic but heap-recursive — rows-only).
+    QueryDef.rowsOnly("o3_lpt_assign") { (s, dir) =>
+      import s.implicits._
+      val items = Inventory.STATIC_WIDTHS.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((n, w), i) =>
+          val rc = Tables.load(s, dir, n).count()
+          Extract.WorkItem(n, rc, rc * w, 1000 + i)
+      }
+      val assign = Extract.lptAssign(items, n = 4)
+      items.map(it => (it.name, it.sizeBytes, assign(it.name)))
+        .toDF("table_name", "size_bytes", "node_id").orderBy("table_name")
+    },
+
+    // O4: size-capped batch packing + spill (migration.py:1758-1784).
+    QueryDef.rowsOnly("o4_batch_pack") { (s, dir) =>
+      import s.implicits._
+      val items = Inventory.STATIC_WIDTHS.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((n, w), i) =>
+          val rc = Tables.load(s, dir, n).count()
+          Extract.WorkItem(n, rc, rc * w, 1000 + i)
+      }
+      val (batches, spilled) = Extract.batch(items, capBytes = 1L << 20)
+      val rows = batches.zipWithIndex.flatMap { case (b, bi) =>
+        b.map(it => (it.name, it.sizeBytes, bi, false))
+      } ++ spilled.map(it => (it.name, it.sizeBytes, -1, true))
+      rows.toDF("table_name", "size_bytes", "batch_id", "spilled").orderBy("table_name")
+    },
+
+    // S6+S4: gzip-CSV extract sink, explicit-schema read-back, aggregate
+    // equality against the source — the extract/load fidelity invariant.
+    QueryDef(
+      "x1_extract_roundtrip",
+      "SELECT l_returnflag, count(*) AS n, " + sqlDsum("l_quantity") + " AS sum_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val out = java.nio.file.Files.createTempDirectory("graft_extract").toString
+      Extract.extractGzipCsv(li, out, numFiles = 8)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+      Extract.readExtracted(s, out, schema)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // C5: staged load + count verify + atomic promote, per table.
+    QueryDef(
+      "ld1_load_verify",
+      Seq("nation", "region", "supplier").sorted.map { n =>
+        s"SELECT '$n' AS table_name, count(*) AS expected, count(*) AS loaded, true AS ok FROM $n"
+      }.mkString("", " UNION ALL ", " ORDER BY table_name")) { (s, dir) =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_load").toString
+      Seq("nation", "region", "supplier").sorted.map { n =>
+        val df = Tables.load(s, dir, n)
+        Loader.loadVerified(df, df.count(), s"$base/$n")
+      }.toDF().select(
+        col("tableName").as("table_name"), col("expected"), col("loaded"), col("ok"))
+        .orderBy("table_name")
+    },
+
+    // Premigration findings (§3.1): per-check scalar counts unioned.
+    QueryDef(
+      "pm1_findings",
+      """SELECT 'customers_without_orders' AS check_name,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS finding_count,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) > 0 AS action_required
+        |UNION ALL SELECT 'empty_documents',
+        |  (SELECT count(*) FROM documents WHERE length(text) = 0),
+        |  (SELECT count(*) FROM documents WHERE length(text) = 0) > 0
+        |UNION ALL SELECT 'negative_balances',
+        |  (SELECT count(*) FROM customer WHERE c_acctbal < 0),
+        |  (SELECT count(*) FROM customer WHERE c_acctbal < 0) > 0
+        |UNION ALL SELECT 'orders_without_lines',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)),
+        |  (SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) > 0
+        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      Checks.findings(s, dir)
+    }
+  )
+}

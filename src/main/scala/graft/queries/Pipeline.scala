@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, Tables}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal / streaming-window), each with a DuckDB oracle that replays the
+  * same deterministic math (md5-derived hashes, double folds rounded before
+  * ranking — see the pipeline package docs).
+  */
+object Pipeline {
+
+  // Shared oracle fragment: distinct word n-gram shingles per doc.
+  private def shingleCte(n: Int): String = {
+    val concatExpr = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(generate_series(1, greatest(len(w)-${n - 1}, 0)),
+       |                        i -> $concatExpr)) AS s FROM tok)""".stripMargin
+  }
+
+  private def jaccardOracle(n: Int, threshold: Double): String =
+    s"""WITH ${shingleCte(n)},
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(c / (na.n + nb.n - c), 4) AS jaccard
+       |FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+       |WHERE c / (na.n + nb.n - c) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val fingerprintSql =
+    "CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT)"
+
+  // Brute-force top-k cosine oracle over a query-id predicate.
+  private def knnOracle(queryPred: String, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        round(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]))
+       |              / (q.nrm * c.nrm), 6) AS cosine
+       |      FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE $queryPred),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM p)
+       |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------- dedup
+    QueryDef(
+      "d1_dedup_exact",
+      s"""SELECT count(*) AS n_rows, count(DISTINCT $fingerprintSql) AS n_distinct,
+         | count(*) - count(DISTINCT $fingerprintSql) AS n_dupes FROM documents""".stripMargin) {
+      (s, dir) => Dedup.exactStats(Tables.load(s, dir, "documents"), "text")
+    },
+
+    QueryDef(
+      "d2_minhash_lsh",
+      jaccardOracle(n = 3, threshold = 0.8)) { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .withColumnRenamed("id_a", "id_a")
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef(
+      "d3_simhash",
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |            FROM documents),
+        |th AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |           sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS wt
+        |         FROM th, (SELECT unnest(generate_series(0, 31)) AS b) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN wt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef(
+      "d4_ngram_jaccard",
+      jaccardOracle(n = 2, threshold = 0.5)) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, shingleN = 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ------------------------------------------------------- similarity
+    QueryDef(
+      "sim1_bruteforce_knn",
+      knnOracle("q.vec_id < 10", k = 5)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF with nprobe == #cells ⇒ exactly brute force; the cell machinery
+    // (centroids, probe ranking, per-cell re-rank) is what's under test.
+    QueryDef(
+      "sim2_ivf_knn",
+      knnOracle("q.vec_id >= 10 AND q.vec_id < 20", k = 5)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id", "embedding", "label", k = 5, nprobe = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // Sign-random-projection bucket histogram — the cosine-LSH scale path.
+    QueryDef(
+      "sim3_srp_buckets",
+      """WITH pl AS (SELECT p, list_transform(generate_series(0, 63),
+        |    j -> CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+        |         / 2147483648.0 - 1.0) AS comps
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pr AS (SELECT vec_id, p,
+        |         list_sum(list_transform(generate_series(1, 64), i -> v[i] * comps[i])) AS proj
+        |       FROM e, pl),
+        |b AS (SELECT vec_id,
+        |        CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM pr GROUP BY 1)
+        |SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) {
+      (s, dir) =>
+      Similarity.srpBuckets(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", nbits = 16)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // ----------------------------------------------------- text analysis
+    QueryDef(
+      "t1_langid",
+      """WITH s AS (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+        |  len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS s_es
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'und' END AS predicted_lang FROM s)
+        |SELECT predicted_lang, count(*) AS n FROM p
+        |GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("predicted_lang"))
+        .groupBy("predicted_lang").agg(count(lit(1)).as("n"))
+        .orderBy("predicted_lang")
+    },
+
+    QueryDef(
+      "t2_quality",
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  round(length(regexp_replace(text, '\s+', '', 'g')) /
+        |        greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS mean_token_len,
+        |  round(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|is|in)\b')) /
+        |        greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS stopword_ratio,
+        |  round(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) /
+        |        greatest(length(text), 1), 4) AS non_alnum_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef(
+      "t3_token_counts",
+      """SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenCounts(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    QueryDef(
+      "t4_fingerprint",
+      s"""SELECT source, count(DISTINCT $fingerprintSql) AS n_unique, count(*) AS n_docs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          countDistinct(graft.pipeline.TextOps.fingerprint(col("text"))).as("n_unique"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+
+    // --------------------------------------------------------- multimodal
+    QueryDef(
+      "m1_media_meta",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes FROM documents)
+        |SELECT kind, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(max(n_bytes) AS BIGINT) AS max_bytes
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
+      Multimodal.metaByKind(Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")))
+    },
+
+    // Batch decode over the binary column (mapPartitions kernel); checksum is
+    // engine-internal, the SQL-checkable metadata is verified here.
+    QueryDef(
+      "m2_decode_meta",
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.decodeBatch(Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")))
+        .toDF()
+        .select("media_id", "n_bytes", "width", "height", "n_frames")
+        .orderBy("media_id")
+    },
+
+    // ---------------------------------------------------------- streaming
+    // Tumbling-window aggregation — batch form of the Structured Streaming
+    // query in graft.streaming (same plan modulo the watermark).
+    QueryDef(
+      "st1_tumbling_window",
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      import graft.functions.Portable.dsum
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }
+  )
+}

@@ -1,0 +1,150 @@
+package graft.rewrite
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The schema-script rewriter (SURVEY §2.9 C1-C6): takes an
+  * `iqunload`-shaped `reload.sql` as a line Dataset, segments it into
+  * statements on bare `go` delimiters, classifies each statement against an
+  * ordered artifact-rule list, and emits (a) the rewritten script with
+  * unsupported statements commented out under Begin/End banners, (b) foreign
+  * key DDL split into its own script for deferred post-load execution.
+  *
+  * Reference behavior being reproduced (cited into `/root/reference/`):
+  *  - statement extent discovery by scanning to the surrounding `go` lines —
+  *    `Migration/migration.py:1126-1145`; here a running `go` count over a
+  *    line window (C1).
+  *  - rule engine: (pattern, COMMENT, pat1, pat2) tuples from
+  *    `Common/DB_Artifacts.list` + catalog queries; match ⇒ comment every
+  *    line and add banners — `migration.py:1110-1178` (C2).
+  *  - `ALTER TABLE … FOREIGN KEY` statements additionally captured into
+  *    `Foreign_Key_Constraint.sql` — `migration.py:1153-1168`.
+  *  - word-replace rules (2-field), e.g. DBA→HDLADMIN, dbspace remap —
+  *    `migration.py:1286-1293`, `Common/DB_Artifacts.list:29-30` (C3).
+  *  - CREATE DOMAIN: strip `AS USER …` suffix — `migration.py:1211-1219`.
+  *  - `password values` blanket comment — `migration.py:1221-1237`.
+  *  - sentinel-bracketed serialization — `migration.py:611-616,1295` (C6).
+  *
+  * Scale note: segmentation is a single ordered-window pass (scripts are
+  * MB-sized — one partition is correct, not a compromise); rule matching is
+  * a statement × rule evaluation where the rule list broadcasts.
+  */
+object Rewriter {
+
+  /** One classified, possibly-rewritten script line. */
+  final case class OutLine(line_no: Long, stmt_id: Long, text: String,
+      commented: Boolean, is_fk: Boolean)
+
+  /** (pattern, commentAction, pat1, pat2): statement is rewritten when
+    * `pattern` matches AND (pat1 absent or present) AND (pat2 absent or
+    * present) — word-boundary, case-insensitive, like migration.py:1013. */
+  final case class Rule(pattern: String, pat1: Option[String] = None,
+      pat2: Option[String] = None, banner: String = "")
+
+  /** Word-replace rules applied to lines of NON-commented statements. */
+  final case class Replace(from: String, to: String)
+
+  /** The built-in rule set, mirroring Common/DB_Artifacts.list:1-33 semantics
+    * against our dialect subset. Order matters (migration.py:1106-1107). */
+  val defaultRules: Seq[Rule] = Seq(
+    Rule("CREATE TEXT CONFIGURATION", banner = "text configuration"),
+    Rule("EXTERNAL NAME", banner = "external-environment procedure"),
+    Rule("CREATE EXISTING TABLE", banner = "proxy table"),
+    Rule("ALTER DBSPACE", banner = "dbspace DDL"),
+    Rule("CREATE INDEX", pat1 = Some("HNG"), banner = "HNG index"),
+    Rule("password values", banner = "password hash"),
+    Rule("default_logical_server", banner = "logical server option"),
+    Rule("CREATE DOMAIN", pat1 = Some("AS USER"), banner = "domain AS USER"))
+
+  val fkRule: Rule = Rule("ALTER TABLE", pat1 = Some("FOREIGN KEY"),
+    pat2 = Some("REFERENCES"), banner = "foreign key (deferred)")
+
+  val defaultReplaces: Seq[Replace] = Seq(
+    Replace("DBA", "HDLADMIN"),
+    Replace("IQ_SYSTEM_MAIN", "user_object_store"))
+
+  private def wb(pat: String): String =
+    "(?is).*\\b" + java.util.regex.Pattern.quote(pat) + "\\b.*"
+
+  private def matches(stmtText: String, r: Rule): Boolean =
+    stmtText.matches(wb(r.pattern)) &&
+      r.pat1.forall(p => stmtText.matches(wb(p))) &&
+      r.pat2.forall(p => stmtText.matches(wb(p)))
+
+  /** C1: segment a line Dataset into statements. stmtId = count of `go`
+    * delimiter lines strictly before this line; a `go` line closes the
+    * statement it follows. */
+  def segment(lines: DataFrame): DataFrame = {
+    val w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, -1)
+    lines
+      .withColumn("is_go", (trim(lower(col("text"))) === "go").cast("int"))
+      .withColumn("stmt_id", coalesce(sum(col("is_go")).over(w), lit(0)).cast("long"))
+  }
+
+  /** Full rewrite: returns the per-line output with comment/FK flags.
+    * Statement classification runs distributed per stmt group; the ordered
+    * rule cascade is applied with the whole (broadcast-sized) rule list. */
+  def rewrite(spark: SparkSession, rawLines: Seq[String],
+      rules: Seq[Rule] = defaultRules,
+      replaces: Seq[Replace] = defaultReplaces): Dataset[OutLine] = {
+    import spark.implicits._
+    val lines = rawLines.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("line_no", "text")
+    val seg = segment(lines)
+    // collect_list order isn't guaranteed → sort the (line_no, text) structs
+    // inside the group before concatenating statement text.
+    val stmts = seg.groupBy("stmt_id")
+      .agg(array_sort(collect_list(struct(col("line_no"), col("text")))).as("ls"))
+      .select(col("stmt_id"),
+        concat_ws("\n", expr("transform(ls, x -> x.text)")).as("stmt_text"))
+    val allRules = rules :+ fkRule
+    val classify = udf { stmtText: String =>
+      val hit = allRules.find(r => matches(stmtText, r))
+      hit match {
+        case Some(r) if r == fkRule => ("fk", r.banner)
+        case Some(r) => ("comment", r.banner)
+        case None => ("keep", "")
+      }
+    }
+    val classified = stmts
+      .withColumn("cls", classify(col("stmt_text")))
+      .select(col("stmt_id"), col("cls._1").as("action"), col("cls._2").as("banner"))
+    val joined = seg.join(broadcast(classified), Seq("stmt_id"))
+    val replaced = replaces.foldLeft(col("text")) { (c, r) =>
+      regexp_replace(c, "(?i)\\b" + java.util.regex.Pattern.quote(r.from) + "\\b", r.to)
+    }
+    joined.select(
+        col("line_no"), col("stmt_id"),
+        when(col("action") === "keep", replaced).otherwise(col("text")).as("text"),
+        (col("action") === "comment").as("commented"),
+        (col("action") === "fk").as("is_fk"))
+      .as[OutLine]
+  }
+
+  /** C6: serialize the rewritten script (ordered, bannered, sentineled) and
+    * the deferred-FK script. Driver-side by design — order-sensitive text. */
+  def serialize(out: Seq[OutLine]): (String, String) = {
+    val sb = new StringBuilder("-- Begin AutoUpdated_Reload (graft rewriter)\n")
+    val fk = new StringBuilder("-- Begin Foreign_Key_Constraint (graft rewriter)\n")
+    var lastStmt = -1L
+    out.sortBy(_.line_no).foreach { l =>
+      if (l.is_fk) {
+        fk.append(l.text).append('\n')
+        if (l.stmt_id != lastStmt) { lastStmt = l.stmt_id }
+        sb.append("-- [moved to Foreign_Key_Constraint.sql] ").append(l.text).append('\n')
+      } else if (l.commented) {
+        if (l.stmt_id != lastStmt) {
+          sb.append("-- Begin unsupported statement\n"); lastStmt = l.stmt_id
+        }
+        sb.append("-- ").append(l.text).append('\n')
+      } else {
+        sb.append(l.text).append('\n')
+      }
+    }
+    sb.append("-- Completed AutoUpdated_Reload\n")
+    fk.append("-- Completed Foreign_Key_Constraint\n")
+    (sb.toString, fk.toString)
+  }
+}

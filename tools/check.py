@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+  1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have been run
+  2. loads each <outdir>/<name> parquet + oracle_sql.json
+  3. runs each oracle in DuckDB over views named after the parquet tables
+  4. compares: columns sorted by name, rows sorted by all columns, exact values
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+results = {}
+for name, sql in sorted(oracle.items()):
+    pdir = f"{outdir}/{name}"
+    status = []
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+    except Exception as e:
+        results[name] = f"NO-SPARK-OUTPUT {e}"
+        continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        results[name] = f"ORACLE-ERROR {str(e)[:200]}"
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        results[name] = f"SCHEMA got={list(got.columns)} exp={list(exp.columns)}"
+        continue
+    if len(got) != len(exp):
+        results[name] = f"ROWS got={len(got)} exp={len(exp)}"
+        continue
+    gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+    mismatch = None
+    for c in got.columns:
+        a, b = gs[c], es[c]
+        try:
+            eq = (a == b) | (a.isna() & b.isna())
+        except Exception:
+            eq = a.astype(str) == b.astype(str)
+        if not eq.all():
+            i = int((~eq).idxmax())
+            mismatch = f"VALUE col={c} row={i} got={a[i]!r} exp={b[i]!r} (dtype {a.dtype} vs {b.dtype})"
+            break
+        if str(a.dtype) != str(b.dtype):
+            status.append(f"dtype:{c}:{a.dtype}!={b.dtype}")
+    results[name] = mismatch or ("OK" + (" [" + ",".join(status) + "]" if status else ""))
+
+npass = sum(1 for v in results.values() if v.startswith("OK"))
+for name, v in sorted(results.items()):
+    print(("PASS " if v.startswith("OK") else "FAIL "), name, v if v != "OK" else "")
+print(f"\n{npass}/{len(results)} oracle queries pass")
