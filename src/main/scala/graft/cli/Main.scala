@@ -1,0 +1,96 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, Engine, Tables}
+import graft.extract.Extract
+import graft.load.Loader
+import graft.premigration.Checks
+import graft.rewrite.{ReloadFixture, Rewriter}
+
+/** CLI entry points with the reference's flag semantics (SURVEY §7.1 step 9):
+  * `--premigration | --fullextraction | --fullload` are mutually exclusive
+  * (`/root/reference/Migration/migration.py:102-107`), resume prompts become
+  * idempotent non-interactive reconciliation, and every phase leaves the
+  * same control files the reference does (iq_tables.list,
+  * ExtractedTables.out, HDL_LoadedTables.out).
+  *
+  * Usage: graft.cli.Main --premigration|--fullextraction|--fullload
+  *                       [--sfdir DIR] [--out DIR]
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("--")).toSet
+    val phases = flags.intersect(Set("--premigration", "--fullextraction", "--fullload"))
+    require(phases.size == 1,
+      "exactly one of --premigration | --fullextraction | --fullload is required")
+    def opt(name: String, default: String): String =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(default)
+    val sfDir = opt("--sfdir", "/root/testdata/sf0.001")
+    val out = opt("--out", Files.createTempDirectory("graft_run").toString)
+    Files.createDirectories(Paths.get(out))
+
+    val spark = Engine.session("graft-cli")
+    spark.sparkContext.setLogLevel("WARN")
+    try phases.head match {
+      case "--premigration" => premigration(spark, sfDir, out)
+      case "--fullextraction" => fullExtraction(spark, sfDir, out)
+      case "--fullload" => fullLoad(spark, sfDir, out)
+    } finally spark.stop()
+  }
+
+  def premigration(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, out: String): Unit = {
+    val findings = Checks.findings(spark, sfDir).collect()
+    val report = findings.map(r =>
+      f"${r.getString(0)}%-28s ${r.getLong(1)}%8d  actionRequired=${r.getBoolean(2)}")
+      .mkString("# graft pre-migration report\n", "\n", "\n")
+    Files.writeString(Paths.get(s"$out/pre_migration.out"), report)
+  }
+
+  def fullExtraction(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, out: String): Unit = {
+    // SCHEMA: rewrite the reload script, splitting FK DDL out
+    val rewritten = Rewriter.rewrite(spark, ReloadFixture.lines).collect().toSeq
+    val (main, fk) = Rewriter.serialize(rewritten)
+    Files.writeString(Paths.get(s"$out/AutoUpdated_Reload.sql"), main)
+    Files.writeString(Paths.get(s"$out/Foreign_Key_Constraint.sql"), fk)
+    // DATA: inventory → work list → resume-aware extract
+    val inv = Catalog.tableInventory(spark, sfDir).collect()
+    val workList = inv.map(r => Extract.WorkItem(
+      r.getString(0).split('.').last, r.getLong(1), r.getLong(2), r.getInt(3)))
+    Files.writeString(Paths.get(s"$out/iq_tables.list"),
+      workList.map(w => s"graft.${w.name},${w.rowCount},${w.sizeBytes},${w.tableId},N")
+        .mkString("", "\n", "\n"))
+    val done = workList.filter(_.rowCount > 0).map { w =>
+      val df = Tables.load(spark, sfDir, w.name)
+      val dir = s"$out/Extracted_Data/${w.tableId}"
+      // format planner: CSV-incompatible columns (arrays/binary) → parquet
+      val rows = Extract.formatFor(df.schema) match {
+        case Extract.Binary => Extract.extractParquet(df, dir)
+        case _ => Extract.extractGzipCsv(df, dir)
+      }
+      s"graft.${w.name},${w.tableId},$rows"
+    }
+    val empties = workList.filter(_.rowCount == 0)
+      .map(w => s"graft.${w.name},${w.tableId},0")
+    Files.writeString(Paths.get(s"$out/ExtractedTables.out"),
+      (done ++ empties).mkString("", "\n", "\n"))
+  }
+
+  def fullLoad(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, out: String): Unit = {
+    val results = Tables.names.map { n =>
+      val df = Tables.load(spark, sfDir, n)
+      Loader.loadVerified(df, df.count(), s"$out/warehouse/$n")
+    }
+    Files.writeString(Paths.get(s"$out/HDL_LoadedTables.out"),
+      results.map(r => s"graft.${r.tableName},${r.loaded},${if (r.ok) "Y" else "N"}")
+        .mkString("", "\n", "\n"))
+    require(results.forall(_.ok), "load verification failed for some tables")
+  }
+}

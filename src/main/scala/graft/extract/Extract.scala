@@ -30,8 +30,10 @@ object Extract {
     * node index. */
   def lptAssign(items: Seq[WorkItem], n: Int): Map[String, Int] = {
     require(n > 0)
+    // dequeue must yield the LEAST-loaded node: PriorityQueue pops the max
+    // of its ordering, so reverse the natural (load, nodeIdx) order.
     val heap = scala.collection.mutable.PriorityQueue
-      .empty[(Long, Int)](Ordering.by[(Long, Int), (Long, Int)](x => (-x._1, -x._2)).reverse)
+      .empty[(Long, Int)](Ordering.by[(Long, Int), (Long, Int)](identity).reverse)
     (0 until n).foreach(i => heap.enqueue((0L, i)))
     items.sortBy(i => (-i.sizeBytes, i.name)).map { it =>
       val (load, node) = heap.dequeue()
@@ -63,11 +65,30 @@ object Extract {
 
   /** Format choice (migration.py:2136-2208): LOB-bearing tables go through
     * quoted text (+ per-row LOB files), old versions uncompressed, else
-    * gzip text; our canonical binary interchange is parquet. */
+    * gzip text; our canonical binary interchange is parquet. Columns CSV
+    * can't carry (arrays, binaries) force the binary path — the analog of
+    * the reference's LOB branch. */
   def chooseFormat(hasLob: Boolean, compressedSupported: Boolean = true): Format =
     if (hasLob) PlainText
     else if (!compressedSupported) PlainText
     else GzipText
+
+  def formatFor(schema: org.apache.spark.sql.types.StructType): Format = {
+    import org.apache.spark.sql.types._
+    val complex = schema.fields.exists(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+      case _ => false
+    })
+    if (complex) Binary else GzipText
+  }
+
+  /** Binary-format extract (parquet) for tables with non-text-able columns. */
+  def extractParquet(df: DataFrame, outDir: String, numFiles: Int = 8): Long = {
+    val cnt = df.count()
+    df.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    cnt
+  }
 
   /** S6: gzip CSV extract of one table directory, with a JSON manifest
     * (our replacement for the reference's `extractinfo`,

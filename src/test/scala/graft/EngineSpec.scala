@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Catalog, Tables}
+import graft.load.Loader
+import graft.queries.Inventory
+
+class EngineSpec extends SparkTestBase {
+
+  test("STATIC_WIDTHS stays in sync with Catalog.widthOf over live schemas") {
+    Tables.names.foreach { n =>
+      val w = Catalog.rowWidth(Tables.load(spark, sfDir, n).schema)
+      assert(Inventory.STATIC_WIDTHS(n) == w, s"width drift for $n")
+    }
+  }
+
+  test("table inventory lists every table with positive size") {
+    val inv = Catalog.tableInventory(spark, sfDir).collect()
+    assert(inv.length == Tables.names.length)
+    assert(inv.forall(_.getLong(1) > 0))
+    assert(inv.forall(r => r.getLong(2) > r.getLong(1))) // bytes > rows
+  }
+
+  test("load verify promotes on match and rolls back on mismatch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_load_spec").toString
+    val nation = Tables.load(spark, sfDir, "nation")
+    val ok = Loader.loadVerified(nation, nation.count(), s"$base/good")
+    assert(ok.ok && ok.loaded == ok.expected)
+    assert(new java.io.File(s"$base/good").exists)
+    // mismatch: wrong expected count → staged data discarded, no final dir
+    val bad = Loader.loadVerified(nation, nation.count() + 1, s"$base/bad")
+    assert(!bad.ok)
+    assert(!new java.io.File(s"$base/bad").exists)
+    assert(!new java.io.File(s"$base/bad.staging").exists)
+  }
+
+  test("resume reconciliation is an anti-join over checkpoint state") {
+    import spark.implicits._
+    val listed = Seq("a", "b", "c", "d").toDF("t")
+    val done = Seq("b", "d").toDF("t")
+    val pending = graft.extract.Extract.pendingWork(listed, done, "t")
+      .collect().map(_.getString(0)).sorted
+    assert(pending.sameElements(Array("a", "c")))
+  }
+
+  test("flagship entry returns rows on the smoke tier") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle name is a declared query and every query runs") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    assert(qs.size == SparkEntry.allDefs.size) // no name collisions
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+
+class PipelineSpec extends SparkTestBase {
+
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+  lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("exact dedup keeps one representative per fingerprint") {
+    import spark.implicits._
+    // inject true duplicates: copy of doc 0 with a new id
+    val dup = docs.limit(1).withColumn("doc_id", lit(99999L))
+    val withDup = docs.unionByName(dup)
+    val deduped = Dedup.exact(withDup, "doc_id", "text")
+    assert(deduped.count() == docs.count())     // dup collapsed
+    assert(deduped.filter($"doc_id" === 99999L).count() == 0) // min-id kept
+  }
+
+  test("simhash banded candidate join equals full pairwise at hamming<=3") {
+    import spark.implicits._
+    val sig = Dedup.simhash(docs.limit(120), "doc_id", "text")
+    val full = sig.as("a").join(sig.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(docs.limit(120), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == full) // pigeonhole: 4 bands, ≤3 diff bits ⇒ ≥1 band equal
+  }
+
+  test("minhash LSH finds the known near-dup pairs with exact jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect()
+    assert(pairs.nonEmpty) // sf0.001 corpus has seeded near-dups
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("ivf with nprobe == #cells equals brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", "label", 3, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(ivf == bf)
+  }
+
+  test("brute-force knn ranks by cosine descending") {
+    val r = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 10).orderBy("rank").collect()
+    assert(r.length == 10)
+    val cosines = r.map(_.getDouble(2))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("decode checksum matches the codegen'd rolling_hash expression") {
+    import spark.implicits._
+    graft.functions.RollingHash.register(spark)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val viaKernel = Multimodal.decodeBatch(media)
+      .select($"media_id", $"checksum".as("k"))
+    val viaExpr = media.select($"media_id", expr("rolling_hash(payload)").as("e"))
+    val joined = viaKernel.join(viaExpr, "media_id")
+    assert(joined.filter($"k" =!= $"e").count() == 0)
+    assert(joined.count() == docs.count())
+  }
+
+  test("frame sampling fans out one row per sampled frame") {
+    val decoded = Multimodal.decodeBatch(Multimodal.mediaFromDocuments(docs))
+    val frames = Multimodal.sampleFrames(decoded, everyNth = 4)
+    val expected = decoded.filter(col("kind") === "video" && col("n_frames") > 0)
+      .select((floor((col("n_frames") - 1) / 4) + 1).as("k"))
+      .agg(sum("k")).collect()(0).getLong(0)
+    assert(frames.count() == expected)
+  }
+
+  test("accumulators count processed rows (A8 running counters)") {
+    val acc = spark.sparkContext.longAccumulator("tables_count")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      it.foreach(_ => acc.add(1))
+    }
+    assert(acc.value == li.count())
+  }
+}

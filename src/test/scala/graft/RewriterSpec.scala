@@ -1,0 +1,74 @@
+package graft
+
+import graft.rewrite.{ReloadFixture, Rewriter}
+
+class RewriterSpec extends SparkTestBase {
+
+  lazy val out = Rewriter.rewrite(spark, ReloadFixture.lines).collect().sortBy(_.line_no)
+
+  test("segmentation assigns one stmt_id per go-delimited statement") {
+    // fixture has 11 `go` lines → statements 0..10; every line belongs to
+    // the statement whose `go` closes it (the go line included)
+    val goLines = ReloadFixture.lines.zipWithIndex.filter(_._1.trim.equalsIgnoreCase("go"))
+    assert(goLines.size == 11)
+    val byLine = out.map(l => l.line_no -> l.stmt_id).toMap
+    // first statement: lines 0-2 (header comment + SET + go)
+    assert(byLine(0L) == 0 && byLine(2L) == 0)
+    // line after the first go starts stmt 1
+    assert(byLine(3L) == 1)
+    // last line (final go) is in the last statement
+    assert(byLine((ReloadFixture.lines.size - 1).toLong) == 10)
+  }
+
+  test("artifact rules comment the unsupported statement classes") {
+    def stmtOf(snippet: String): Long =
+      out.find(_.text.contains(snippet)).getOrElse(fail(s"line with '$snippet' missing")).stmt_id
+    val commented = out.filter(_.commented).map(_.stmt_id).toSet
+    assert(commented.contains(stmtOf("CREATE TEXT CONFIGURATION")))
+    assert(commented.contains(stmtOf("EXTERNAL NAME")))
+    assert(commented.contains(stmtOf("AS USER")))
+    assert(commented.contains(stmtOf("FOR HNG")))
+    assert(commented.contains(stmtOf("password values")))
+    // plain CREATE TABLE / VIEW / COMMIT statements stay
+    assert(!commented.contains(stmtOf("CREATE VIEW")))
+    assert(!commented.contains(stmtOf("COMMIT WORK")))
+  }
+
+  test("foreign key statements are split out, not commented") {
+    val fkLines = out.filter(_.is_fk)
+    assert(fkLines.nonEmpty)
+    assert(fkLines.forall(l => !l.commented))
+    assert(fkLines.exists(_.text.contains("FOREIGN KEY")))
+    assert(fkLines.exists(_.text.contains("REFERENCES")))
+  }
+
+  test("word-replace rules rewrite kept statements only") {
+    // kept CREATE TABLE had owner "DBA" and dbspace IQ_SYSTEM_MAIN
+    val kept = out.filter(l => !l.commented && !l.is_fk).map(_.text).mkString("\n")
+    assert(kept.contains("\"HDLADMIN\".\"customer\""))
+    assert(kept.contains("user_object_store"))
+    assert(!kept.contains("IQ_SYSTEM_MAIN"))
+    // commented lines keep their original text (prefixing happens at serialize)
+    val commentedText = out.filter(_.commented).map(_.text).mkString("\n")
+    assert(commentedText.contains("CREATE TEXT CONFIGURATION"))
+  }
+
+  test("serialization brackets with sentinels and prefixes comments") {
+    val (main, fk) = Rewriter.serialize(out.toSeq)
+    assert(main.startsWith("-- Begin AutoUpdated_Reload"))
+    assert(main.trim.endsWith("-- Completed AutoUpdated_Reload"))
+    assert(main.contains("-- Begin unsupported statement"))
+    assert(main.contains("-- CREATE TEXT CONFIGURATION"))
+    assert(fk.contains("FOREIGN KEY"))
+    assert(fk.trim.endsWith("-- Completed Foreign_Key_Constraint"))
+    // completeness invariant (migration.py:1301-1336): every input line
+    // yields exactly one output record, and its serialized form is either
+    // the original text or its word-replaced rewrite
+    assert(out.length == ReloadFixture.lines.size)
+    ReloadFixture.lines.foreach { l =>
+      val replaced = l.replaceAll("(?i)\\bDBA\\b", "HDLADMIN")
+        .replaceAll("(?i)\\bIQ_SYSTEM_MAIN\\b", "user_object_store")
+      assert(main.contains(l) || main.contains(replaced), s"missing line: $l")
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.Tables
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming tumbling-window agg matches the batch window agg") {
+    val stream = EventStream.windowedCounts(EventStream.readStream(spark, sfDir))
+    val q = stream.writeStream
+      .format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("watermarked distinct-user stream dedupes within state bounds") {
+    val stream = EventStream.distinctUsersPerWindow(EventStream.readStream(spark, sfDir))
+    val q = stream.writeStream
+      .format("memory").queryName("du_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("du_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+}

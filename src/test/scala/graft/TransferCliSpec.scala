@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.core.Config
+import graft.transfer.Transfer
+
+class TransferCliSpec extends SparkTestBase {
+
+  test("chunked copy splits at the byte cap and merge restores the file") {
+    val dir = Files.createTempDirectory("graft_xfer")
+    val src = dir.resolve("big.bin")
+    val rnd = new scala.util.Random(42)
+    val data = new Array[Byte](10 * 1024 * 1024)
+    rnd.nextBytes(data)
+    Files.write(src, data)
+    val parts = Transfer.copyChunked(src, dir.resolve("up"), 3L * 1024 * 1024)
+    assert(parts.size == 4) // 10 MB at 3 MB chunks
+    assert(parts.map(p => Files.size(p)).sum == data.length)
+    assert(parts.dropRight(1).forall(p => Files.size(p) == 3L * 1024 * 1024))
+    val merged = dir.resolve("merged.bin")
+    Transfer.merge(parts, merged)
+    assert(java.util.Arrays.equals(Files.readAllBytes(merged), data))
+    assert(parts.forall(p => !Files.exists(p))) // DELETE_BATCH analog
+  }
+
+  test("small files copy unsplit") {
+    val dir = Files.createTempDirectory("graft_xfer2")
+    val src = dir.resolve("small.bin")
+    Files.write(src, Array[Byte](1, 2, 3))
+    val parts = Transfer.copyChunked(src, dir.resolve("up"), 1024)
+    assert(parts.size == 1 && Files.size(parts.head) == 3)
+  }
+
+  test("upload validation matches names and sizes") {
+    val a = Files.createTempDirectory("graft_va")
+    val b = Files.createTempDirectory("graft_vb")
+    Files.write(a.resolve("f1"), Array[Byte](1, 2))
+    Files.write(a.resolve("f2"), Array[Byte](3))
+    Files.write(b.resolve("f1"), Array[Byte](1, 2))
+    Files.write(b.resolve("f2"), Array[Byte](3, 4)) // size mismatch
+    val (n, m, ok) = Transfer.validate(
+      Transfer.listing(spark, a.toString), Transfer.listing(spark, b.toString))
+    assert(n == 2 && m == 1 && !ok)
+  }
+
+  test("config validation mirrors the reference's gates") {
+    assertThrows[IllegalArgumentException](Config.MigrationConfig("/x", clientNumConn = 1))
+    assertThrows[IllegalArgumentException](Config.MigrationConfig("/x", batchSizeGb = 50))
+    assertThrows[IllegalArgumentException](Config.MigrationConfig("y" * 95))
+    assert(Config.MigrationConfig("/data", 2, 0).batchSizeGb == 0)
+    assert(Config.MigrationConfig("/data", 4, 200).batchSizeGb == 200)
+  }
+
+  test("cli phases run end-to-end and leave the reference's control files") {
+    val out = Files.createTempDirectory("graft_cli").toString
+    graft.cli.Main.premigration(spark, sfDir, out)
+    assert(Files.readString(Paths.get(s"$out/pre_migration.out"))
+      .contains("customers_without_orders"))
+    graft.cli.Main.fullExtraction(spark, sfDir, out)
+    assert(Files.exists(Paths.get(s"$out/AutoUpdated_Reload.sql")))
+    assert(Files.exists(Paths.get(s"$out/Foreign_Key_Constraint.sql")))
+    val listed = Files.readAllLines(Paths.get(s"$out/iq_tables.list"))
+    val extracted = Files.readAllLines(Paths.get(s"$out/ExtractedTables.out"))
+    assert(listed.size == graft.core.Tables.names.size)
+    assert(extracted.size == listed.size) // extraction invariant: ⊇ listed
+    graft.cli.Main.fullLoad(spark, sfDir, out)
+    val loaded = Files.readAllLines(Paths.get(s"$out/HDL_LoadedTables.out"))
+    assert(loaded.size == listed.size)
+    assert(loaded.stream().allMatch(_.endsWith(",Y")))
+  }
+
+  test("cli rejects phase flag combinations") {
+    assertThrows[IllegalArgumentException](
+      graft.cli.Main.main(Array("--premigration", "--fullload")))
+    assertThrows[IllegalArgumentException](graft.cli.Main.main(Array.empty))
+  }
+}
