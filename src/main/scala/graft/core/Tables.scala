@@ -14,7 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** Every table the driver generates, in dependency-ish order. */
+  /** Every table the driver generates, in dependency-ish order.
+    * Note: `documents` and `embeddings` are driver-generated for the
+    * pipeline operators (dedup/similarity/text analysis) but absent from
+    * TESTDATA.md's table list — they do exist in every sf directory. */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

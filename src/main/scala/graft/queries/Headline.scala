@@ -56,14 +56,19 @@ object Headline {
          |  AND l_shipdate > TIMESTAMP '1998-03-15'
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
-        .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      // pre-aggregate the fact side per orderkey BEFORE joining dims: the
+      // shuffle carries one row per order instead of one per lineitem
+      // (fanout ~4x smaller; decimal sums are associative so semantics hold)
+      val liAgg = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-        .groupBy("l_orderkey", "o_orderdate")
+        .groupBy("l_orderkey")
         .agg(dsum(disc, 4).as("revenue"))
+      val bldOrders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .join(broadcast(Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+      liAgg.join(bldOrders, col("l_orderkey") === col("o_orderkey"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
@@ -118,15 +123,20 @@ object Headline {
          |  AND l_returnflag = 'R'
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer")
-        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      // same pre-aggregation shape as q3: per-order partial revenue first,
+      // then the dim joins and the (much smaller) per-customer re-aggregate
+      val liAgg = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_orderkey")
+        .agg(sum(disc.cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev_part"))
+      val ords = Tables.load(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
-        .join(Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
-          col("l_orderkey") === col("o_orderkey"))
+      liAgg.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(disc, 4).as("revenue"))
+        .agg(sum(col("rev_part")).cast("double").as("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
@@ -141,14 +151,17 @@ object Headline {
          |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
          |HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
          |ORDER BY total_price DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer")
-        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(Tables.load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      // orderkey is unique in orders, so grouping by the order attributes is
+      // the same as grouping lineitem by orderkey first — do that, filter
+      // early (HAVING prunes before the join), then broadcast the dims
+      val liAgg = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
         .agg(
           sum(col("l_quantity").cast(DecimalType(18, 2))).as("qdec"),
           dsum(col("l_quantity")).as("sum_qty"))
         .filter(col("qdec") > 150)
+      liAgg.join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice").cast("double").as("total_price"), col("sum_qty"))
         .orderBy(desc("total_price"), asc("o_orderkey"))

@@ -97,6 +97,33 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // Embedding-cosine near-dup pairs at a fixed threshold — the dedup form
+    // of similarity (scale path: SRP bucketing prunes candidates; exact
+    // re-check inside buckets). 0.4 sits ≥1e-5 from every pair in the data,
+    // far above cross-engine float noise.
+    QueryDef(
+      "d5_embedding_near_dup",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+        |          / (a.nrm * b.nrm) AS cs
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cs, 6) AS cosine FROM p
+        |WHERE cs >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cs", Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")))
+        .filter(col("cs") >= 0.4)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(col("cs"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ------------------------------------------------------- similarity
     QueryDef(
       "sim1_bruteforce_knn",
