@@ -87,6 +87,7 @@ object Extract {
     val cnt = df.count()
     df.repartition(numFiles)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
+    writeManifest(outDir, cnt, "parquet")
     cnt
   }
 
@@ -101,8 +102,29 @@ object Extract {
       .option("compression", "gzip")
       .option("header", "true")
       .csv(outDir)
+    writeManifest(outDir, cnt, "gzip_csv")
     cnt
   }
+
+  /** S11 + O5: per-extract manifest with a completeness sentinel — replaces
+    * the reference's `extractinfo` token scraping (migration.py:1445-1458)
+    * and its last-line sentinel check (migration.py:1301-1310). */
+  def writeManifest(outDir: String, rows: Long, format: String): Unit = {
+    val files = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => s"""{"name":"${f.getName}","bytes":${f.length}}""")
+    val json =
+      s"""{"rows":$rows,"format":"$format","files":[${files.mkString(",")}],"complete":true}"""
+    // sibling file, not inside the dir: underscore-prefixed files are
+    // invisible to Spark readers, and a non-underscore file inside the
+    // directory would pollute the data scan
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir + ".manifest.json"), json)
+  }
+
+  /** Read a manifest back; `complete` is the resume-safety sentinel. */
+  def readManifest(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.json(outDir + ".manifest.json")
 
   /** Read an extracted directory back with an explicit schema (no inference
     * in the engine proper — SURVEY §1.3). */

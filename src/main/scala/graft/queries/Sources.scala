@@ -69,6 +69,36 @@ object Sources {
       Seq((nRows, nFiles.toLong)).toDF("n_rows", "n_files")
     },
 
+    // spark.sql text surface: the same ANSI SQL string runs on both engines
+    // (registered temp views play the server's catalog role — S1/S2 via SQL).
+    QueryDef(
+      "sql1_text_query",
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_acctbal > 0.0
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_cust
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE c_acctbal > 0.0
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+    },
+
+    // §1.2 identity surrogate: dense ids over a deterministic ordering.
+    QueryDef(
+      "id1_identity_assign",
+      """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS row_id, n_name
+        |FROM nation ORDER BY row_id""".stripMargin) { (s, dir) =>
+      val nation = Tables.load(s, dir, "nation")
+        .orderBy("n_nationkey").select("n_name")
+      graft.core.Identity.assign(nation, "row_id")
+        .select("row_id", "n_name")
+        .orderBy("row_id")
+    },
+
     // §7.2: transitive closure over a derived dependency tree
     // (child = p_partkey, parent = p_partkey div 2) via iterative
     // path-doubling self-joins; oracle is DuckDB's recursive CTE.

@@ -54,8 +54,12 @@ object Rewriter {
     Rule("ALTER DBSPACE", banner = "dbspace DDL"),
     Rule("CREATE INDEX", pat1 = Some("HNG"), banner = "HNG index"),
     Rule("password values", banner = "password hash"),
-    Rule("default_logical_server", banner = "logical server option"),
-    Rule("CREATE DOMAIN", pat1 = Some("AS USER"), banner = "domain AS USER"))
+    Rule("default_logical_server", banner = "logical server option"))
+
+  /** C3 (migration.py:1211-1219): CREATE DOMAIN keeps the statement but the
+    * `AS USER …` suffix is stripped (`re.split(r"AS USER +")[0]`). */
+  val domainStripRule: Rule = Rule("CREATE DOMAIN", pat1 = Some("AS USER"),
+    banner = "domain AS USER (stripped)")
 
   val fkRule: Rule = Rule("ALTER TABLE", pat1 = Some("FOREIGN KEY"),
     pat2 = Some("REFERENCES"), banner = "foreign key (deferred)")
@@ -99,11 +103,12 @@ object Rewriter {
       .agg(array_sort(collect_list(struct(col("line_no"), col("text")))).as("ls"))
       .select(col("stmt_id"),
         concat_ws("\n", expr("transform(ls, x -> x.text)")).as("stmt_text"))
-    val allRules = rules :+ fkRule
+    val allRules = rules ++ Seq(fkRule, domainStripRule)
     val classify = udf { stmtText: String =>
       val hit = allRules.find(r => matches(stmtText, r))
       hit match {
         case Some(r) if r == fkRule => ("fk", r.banner)
+        case Some(r) if r == domainStripRule => ("strip_domain", r.banner)
         case Some(r) => ("comment", r.banner)
         case None => ("keep", "")
       }
@@ -117,10 +122,32 @@ object Rewriter {
     }
     joined.select(
         col("line_no"), col("stmt_id"),
-        when(col("action") === "keep", replaced).otherwise(col("text")).as("text"),
+        when(col("action") === "keep", replaced)
+          .when(col("action") === "strip_domain",
+            regexp_replace(replaced, "(?i)\\s+AS USER\\s+.*$", ""))
+          .otherwise(col("text")).as("text"),
         (col("action") === "comment").as("commented"),
         (col("action") === "fk").as("is_fk"))
       .as[OutLine]
+  }
+
+  /** C4 (migration.py:1046-1085 + Common/login_policy.csv): when the root
+    * login policy deviates from the shipped defaults, clone it as `c_root`
+    * and move every non-admin user onto the clone. The diff is the E2
+    * intersection-then-compare the reference does in Python sets. */
+  def loginPolicyRewrite(rootOptions: Map[String, String],
+      defaults: Map[String, String], users: Seq[String]): Seq[String] = {
+    val diffs = rootOptions.toSeq
+      .filter { case (k, v) => defaults.get(k).exists(_ != v) }
+      .sortBy(_._1)
+    if (diffs.isEmpty) Seq.empty
+    else {
+      val clone = "CREATE LOGIN POLICY \"c_root\" " +
+        diffs.map { case (k, v) => s"$k=$v" }.mkString(" ")
+      Seq(clone, "go") ++ users
+        .filterNot(u => u.equalsIgnoreCase("DBA") || u.equalsIgnoreCase("HDLADMIN"))
+        .flatMap(u => Seq(s"""ALTER USER "$u" LOGIN POLICY "c_root"""", "go"))
+    }
   }
 
   /** C6: serialize the rewritten script (ordered, bannered, sentineled) and

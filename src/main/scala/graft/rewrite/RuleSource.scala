@@ -1,0 +1,42 @@
+package graft.rewrite
+
+import org.apache.spark.sql.SparkSession
+
+/** S5: rule-list sources with ragged-arity handling.
+  *
+  * The reference assembles its rule set from `Common/DB_Artifacts.list` —
+  * comma-split lines of 2, 3 or 4 fields (`/root/reference/Migration/
+  * migration.py:620-635`): 4 fields = (pattern, COMMENT, pat1, pat2) with
+  * `NULL` placeholders, 3 = (pattern, COMMENT, pat1), 2 = word-replace
+  * (from, to). Same parse here, into [[Rewriter.Rule]] / [[Rewriter.Replace]].
+  */
+object RuleSource {
+
+  /** Parse ragged rule lines. Returns (comment rules, replace rules). */
+  def parse(lines: Seq[String]): (Seq[Rewriter.Rule], Seq[Rewriter.Replace]) = {
+    val cleaned = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    val parsed = cleaned.map(_.split(",").map(_.trim).toSeq)
+    val rules = parsed.collect {
+      case Seq(pat, "COMMENT", p1, p2) =>
+        Rewriter.Rule(pat,
+          Option(p1).filter(_ != "NULL"), Option(p2).filter(_ != "NULL"),
+          banner = pat.toLowerCase)
+      case Seq(pat, "COMMENT", p1) =>
+        Rewriter.Rule(pat, Option(p1).filter(_ != "NULL"), None, banner = pat.toLowerCase)
+      case Seq(pat, "COMMENT") =>
+        Rewriter.Rule(pat, None, None, banner = pat.toLowerCase)
+    }
+    val replaces = parsed.collect {
+      case Seq(from, to) if to != "COMMENT" => Rewriter.Replace(from, to)
+    }
+    (rules, replaces)
+  }
+
+  /** Load a rule file through the engine's text source (charset-aware). */
+  def load(spark: SparkSession, path: String, encoding: String = "UTF-8")
+      : (Seq[Rewriter.Rule], Seq[Rewriter.Replace]) = {
+    val lines = spark.read.option("encoding", encoding).textFile(path)
+      .collect().toSeq // rule lists are tiny control data, driver-side by design
+    parse(lines)
+  }
+}

@@ -44,6 +44,43 @@ class EngineSpec extends SparkTestBase {
     assert(pending.sameElements(Array("a", "c")))
   }
 
+  test("ragged rule-list source parses 4/3/2-field lines (S5)") {
+    val (rules, replaces) = graft.rewrite.RuleSource.parse(Seq(
+      "# comment line",
+      "ALTER TABLE,COMMENT,FOREIGN KEY,REFERENCES",
+      "CREATE INDEX,COMMENT,HNG",
+      "EXTERNAL NAME,COMMENT",
+      "CREATE EXISTING TABLE,COMMENT,NULL,NULL",
+      "DBA,HDLADMIN",
+      ""))
+    assert(rules.size == 4)
+    assert(rules.head == graft.rewrite.Rewriter.Rule(
+      "ALTER TABLE", Some("FOREIGN KEY"), Some("REFERENCES"), "alter table"))
+    assert(rules(3).pat1.isEmpty && rules(3).pat2.isEmpty) // NULL placeholders
+    assert(replaces == Seq(graft.rewrite.Rewriter.Replace("DBA", "HDLADMIN")))
+  }
+
+  test("extract manifest carries the completeness sentinel (S11/O5)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val n = graft.extract.Extract.extractGzipCsv(
+      Tables.load(spark, sfDir, "nation"), out, numFiles = 2)
+    val m = graft.extract.Extract.readManifest(spark, out).collect()(0)
+    assert(m.getAs[Boolean]("complete"))
+    assert(m.getAs[Long]("rows") == n)
+    assert(m.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("files").nonEmpty)
+    // manifest is invisible to the data reader (underscore-prefixed)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == n)
+  }
+
+  test("identity assignment is dense, unique, and order-stable") {
+    val df = Tables.load(spark, sfDir, "customer").orderBy("c_custkey")
+    val withId = graft.core.Identity.assign(df, "rid", startAt = 100L)
+    val ids = withId.select("rid").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 100L && ids.last == 100L + df.count() - 1)
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("flagship entry returns rows on the smoke tier") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -26,12 +26,33 @@ class RewriterSpec extends SparkTestBase {
     val commented = out.filter(_.commented).map(_.stmt_id).toSet
     assert(commented.contains(stmtOf("CREATE TEXT CONFIGURATION")))
     assert(commented.contains(stmtOf("EXTERNAL NAME")))
-    assert(commented.contains(stmtOf("AS USER")))
     assert(commented.contains(stmtOf("FOR HNG")))
     assert(commented.contains(stmtOf("password values")))
     // plain CREATE TABLE / VIEW / COMMIT statements stay
     assert(!commented.contains(stmtOf("CREATE VIEW")))
     assert(!commented.contains(stmtOf("COMMIT WORK")))
+  }
+
+  test("CREATE DOMAIN is kept with the AS USER suffix stripped (C3)") {
+    val domainLine = out.find(_.text.contains("CREATE DOMAIN"))
+      .getOrElse(fail("domain line missing"))
+    assert(!domainLine.commented && !domainLine.is_fk)
+    assert(!domainLine.text.contains("AS USER"))
+    assert(domainLine.text.contains("NUMERIC(18,2)"))
+  }
+
+  test("login policy rewrite clones root and reassigns non-admin users (C4)") {
+    val out = Rewriter.loginPolicyRewrite(
+      rootOptions = Map("max_failed_login_attempts" -> "10", "locked" -> "OFF"),
+      defaults = Map("max_failed_login_attempts" -> "5", "locked" -> "OFF"),
+      users = Seq("analyst", "DBA", "etl_user"))
+    assert(out.head.startsWith("CREATE LOGIN POLICY \"c_root\""))
+    assert(out.head.contains("max_failed_login_attempts=10"))
+    assert(!out.head.contains("locked")) // unchanged options not cloned
+    assert(out.count(_.startsWith("ALTER USER")) == 2) // DBA excluded
+    // no deviation → no rewrite at all
+    assert(Rewriter.loginPolicyRewrite(
+      Map("a" -> "1"), Map("a" -> "1"), Seq("u")).isEmpty)
   }
 
   test("foreign key statements are split out, not commented") {
@@ -68,7 +89,9 @@ class RewriterSpec extends SparkTestBase {
     ReloadFixture.lines.foreach { l =>
       val replaced = l.replaceAll("(?i)\\bDBA\\b", "HDLADMIN")
         .replaceAll("(?i)\\bIQ_SYSTEM_MAIN\\b", "user_object_store")
-      assert(main.contains(l) || main.contains(replaced), s"missing line: $l")
+      val stripped = replaced.replaceAll("(?i)\\s+AS USER\\s+.*$", "")
+      assert(main.contains(l) || main.contains(replaced) || main.contains(stripped),
+        s"missing line: $l")
     }
   }
 }
