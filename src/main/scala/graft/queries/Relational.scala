@@ -154,6 +154,17 @@ object Relational {
         .orderBy("doc_id")
     },
 
+    // JSON scalar extraction (§2.8: the engine-side from_json path)
+    QueryDef(
+      "ev1_json_props",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
     // ---------------------------------------------------------------- J1-J12
     // J1 SYSTABLE⋈SYSUSER analog: 2-way equi + filter; dim is broadcast.
     QueryDef(

@@ -81,6 +81,27 @@ class EngineSpec extends SparkTestBase {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("salted join equals the plain join (skew mitigation is lossless)") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+    val part = Tables.load(spark, sfDir, "part").select("p_partkey", "p_brand")
+    val plain = li.join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.core.Salting.saltedJoin(li, part, "l_partkey", "p_partkey", salt = 8)
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("approximate distinct stays within 5% of exact (sketch surface)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val exact = li.select("l_orderkey").distinct().count().toDouble
+    val approx = li.agg(
+      org.apache.spark.sql.functions.approx_count_distinct(col("l_orderkey"), 0.01))
+      .collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.03)
+  }
+
   test("flagship entry returns rows on the smoke tier") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -29,6 +29,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch w3 semantics") {
+    val stream = EventStream.sessionize(EventStream.readStream(spark, sfDir))
+    val q = stream.writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode: last emitted row per user is the final state
+    val got = spark.table("sess_out").groupBy("user_id")
+      .agg(max("n_sessions").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch oracle: same gap rule via lag window (the w3 query's logic)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val exp = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > 3600L * 1000000, 1).otherwise(0))
+      .groupBy("user_id").agg(sum("ns").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
   test("watermarked distinct-user stream dedupes within state bounds") {
     val stream = EventStream.distinctUsersPerWindow(EventStream.readStream(spark, sfDir))
     val q = stream.writeStream
