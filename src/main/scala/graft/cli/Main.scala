@@ -69,11 +69,17 @@ object Main {
     val done = workList.filter(_.rowCount > 0).map { w =>
       val df = Tables.load(spark, sfDir, w.name)
       val dir = s"$out/Extracted_Data/${w.tableId}"
-      // format planner: CSV-incompatible columns (arrays/binary) → parquet
-      val rows = Extract.formatFor(df.schema) match {
-        case Extract.Binary => Extract.extractParquet(df, dir)
-        case _ => Extract.extractGzipCsv(df, dir)
-      }
+      // resume (migration.py:1940-2002): a complete manifest means this
+      // table's extract already finished — skip it, idempotently
+      val manifest = Paths.get(dir + ".manifest.json")
+      val rows =
+        if (Files.exists(manifest) &&
+          Files.readString(manifest).contains("\"complete\":true")) w.rowCount
+        else Extract.formatFor(df.schema) match {
+          // format planner: CSV-incompatible columns (arrays/binary) → parquet
+          case Extract.Binary => Extract.extractParquet(df, dir)
+          case _ => Extract.extractGzipCsv(df, dir)
+        }
       s"graft.${w.name},${w.tableId},$rows"
     }
     val empties = workList.filter(_.rowCount == 0)

@@ -34,7 +34,36 @@ object Checks {
         .filter(col("c_acctbal") < 0).agg(count(lit(1)).as("n"))),
     Check("empty_documents", "documents with no text",
       (s, dir) => Tables.load(s, dir, "documents")
-        .filter(length(col("text")) === 0).agg(count(lit(1)).as("n"))))
+        .filter(length(col("text")) === 0).agg(count(lit(1)).as("n"))),
+    Check("empty_tables", "tables with zero rows (extraction short-circuit)",
+      (s, dir) => graft.core.Catalog.tableInventory(s, dir)
+        .filter(col("row_count") === 0).agg(count(lit(1)).as("n"))),
+    Check("wide_row_tables", "tables whose declared row width exceeds 128 bytes",
+      (s, dir) => {
+        import s.implicits._
+        val wide = graft.core.Tables.names.count(n =>
+          graft.core.Catalog.rowWidth(Tables.load(s, dir, n).schema) > 128)
+        Seq(wide.toLong).toDF("n")
+      }),
+    Check("lob_like_columns", "columns needing the LOB extract path (binary/array)",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{ArrayType, BinaryType}
+        import s.implicits._
+        val n = graft.core.Tables.names.map(t =>
+          Tables.load(s, dir, t).schema.fields.count(f => f.dataType match {
+            case _: ArrayType | BinaryType => true
+            case _ => false
+          })).sum
+        Seq(n.toLong).toDF("n")
+      }),
+    Check("duplicate_orderkeys", "orders with duplicated primary key",
+      (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(count(lit(1)).as("n"))),
+    Check("future_dates", "events timestamped beyond the extraction window",
+      (s, dir) => Tables.load(s, dir, "events")
+        .filter(col("ts") > lit("2030-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n"))))
 
   /** The findings relation: (check_name, finding_count, action_required). */
   def findings(spark: SparkSession, sfDir: String): DataFrame =

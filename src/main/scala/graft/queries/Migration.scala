@@ -109,19 +109,29 @@ object Migration {
     // Premigration findings (§3.1): per-check scalar counts unioned.
     QueryDef(
       "pm1_findings",
-      """SELECT 'customers_without_orders' AS check_name,
-        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS finding_count,
-        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) > 0 AS action_required
-        |UNION ALL SELECT 'empty_documents',
-        |  (SELECT count(*) FROM documents WHERE length(text) = 0),
-        |  (SELECT count(*) FROM documents WHERE length(text) = 0) > 0
-        |UNION ALL SELECT 'negative_balances',
-        |  (SELECT count(*) FROM customer WHERE c_acctbal < 0),
-        |  (SELECT count(*) FROM customer WHERE c_acctbal < 0) > 0
-        |UNION ALL SELECT 'orders_without_lines',
-        |  (SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)),
-        |  (SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) > 0
-        |ORDER BY check_name""".stripMargin) { (s, dir) =>
+      {
+        def row(name: String, cnt: String) =
+          s"SELECT '$name' AS check_name, CAST(($cnt) AS BIGINT) AS finding_count, ($cnt) > 0 AS action_required"
+        val emptyTablesCnt = "SELECT count(*) FROM (" +
+          graft.core.Tables.names.map(n => s"SELECT count(*) AS c FROM $n").mkString(" UNION ALL ") +
+          ") WHERE c = 0"
+        val wideCnt = Inventory.STATIC_WIDTHS.values.count(_ > 128)
+        Seq(
+          row("customers_without_orders",
+            "SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+          row("duplicate_orderkeys",
+            "SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)"),
+          row("empty_documents", "SELECT count(*) FROM documents WHERE length(text) = 0"),
+          row("empty_tables", emptyTablesCnt),
+          row("future_dates",
+            "SELECT count(*) FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2030-01-01'"),
+          row("lob_like_columns", "SELECT 1"),
+          row("negative_balances", "SELECT count(*) FROM customer WHERE c_acctbal < 0"),
+          row("orders_without_lines",
+            "SELECT count(*) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"),
+          row("wide_row_tables", s"SELECT $wideCnt")
+        ).map(r => "(" + r + ")").mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY check_name")
+      }) { (s, dir) =>
       Checks.findings(s, dir)
     }
   )

@@ -70,6 +70,21 @@ class TransferCliSpec extends SparkTestBase {
     assert(loaded.stream().allMatch(_.endsWith(",Y")))
   }
 
+  test("extraction resume skips tables with complete manifests") {
+    val out = Files.createTempDirectory("graft_resume").toString
+    graft.cli.Main.fullExtraction(spark, sfDir, out)
+    // tamper: delete one table's manifest → only that table re-extracts
+    val victim = Paths.get(s"$out/Extracted_Data/1001.manifest.json")
+    Files.delete(victim)
+    val beforeStamp = Files.getLastModifiedTime(
+      Paths.get(s"$out/Extracted_Data/1000.manifest.json"))
+    graft.cli.Main.fullExtraction(spark, sfDir, out)
+    assert(Files.exists(victim)) // re-extracted
+    // untouched table's manifest unmodified (it was skipped)
+    assert(Files.getLastModifiedTime(
+      Paths.get(s"$out/Extracted_Data/1000.manifest.json")) == beforeStamp)
+  }
+
   test("cli rejects phase flag combinations") {
     assertThrows[IllegalArgumentException](
       graft.cli.Main.main(Array("--premigration", "--fullload")))
