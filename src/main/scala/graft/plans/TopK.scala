@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+
+/** User-facing API + session wiring for the [[TopKPerKeyNode]] operator. */
+object TopK {
+
+  /** Top `k` rows per key group by `ordCol` (descending by default),
+    * executed with bounded per-key heaps instead of a window sort. */
+  def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String, k: Int,
+      descending: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String) = analyzed.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val node = TopKPerKeyNode(keyCols.map(attr), attr(ordCol), k, descending, analyzed)
+    org.apache.spark.sql.graftbridge.GraftBridge.ofRows(spark, node)
+  }
+
+  /** Idempotently register the planner strategy on a live session. */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[TopKStrategy]))
+      spark.experimental.extraStrategies = cur :+ new TopKStrategy
+  }
+}
+
+/** `spark.sql.extensions`-style registration for sessions built with
+  * `.withExtensions(new GraftExtensions)` — strategy + rolling_hash. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => new TopKStrategy)
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.RollingHash].getName, "rolling_hash"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.RollingHash(exprs.head)))
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Bridge to `Dataset.ofRows` (private[sql]): the sanctioned escape hatch
+  * for a library that builds its own LogicalPlan nodes (here: graft's
+  * TopKPerKeyNode) and needs them back as a DataFrame. Lives under the
+  * spark.sql namespace solely for that access; contains no Spark patches. */
+object GraftBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

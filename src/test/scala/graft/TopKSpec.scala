@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.plans.TopK
+
+class TopKSpec extends SparkTestBase {
+
+  private def keptValues(df: org.apache.spark.sql.DataFrame, key: String,
+      ord: String): Map[Any, Seq[Double]] =
+    df.collect().groupBy(_.getAs[Any](key))
+      .view.mapValues(_.map(_.getAs[Double](ord)).sorted.toSeq).toMap
+
+  test("TopKPerKey equals the window row_number result (value multiset)") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val viaOp = TopK.perKey(orders, Seq("o_custkey"), "o_totalprice", k = 3)
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(keptValues(viaOp, "o_custkey", "o_totalprice") ==
+      keptValues(viaWindow, "o_custkey", "o_totalprice"))
+  }
+
+  test("ascending mode keeps the smallest k") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val viaOp = TopK.perKey(li, Seq("l_returnflag"), "l_extendedprice",
+      k = 5, descending = false)
+    val w = Window.partitionBy("l_returnflag").orderBy(asc("l_extendedprice"))
+    val viaWindow = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+    assert(keptValues(viaOp, "l_returnflag", "l_extendedprice") ==
+      keptValues(viaWindow, "l_returnflag", "l_extendedprice"))
+  }
+
+  test("the physical plan contains the custom exec and no Sort") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val plan = TopK.perKey(orders, Seq("o_custkey"), "o_totalprice", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
+  }
+
+  test("k larger than group size returns whole groups") {
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_regionkey"), col("n_nationkey").cast("double").as("v"))
+    val res = TopK.perKey(nation, Seq("n_regionkey"), "v", k = 100)
+    assert(res.count() == nation.count())
+  }
+}
