@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
 object Engine {
 
   def session(appName: String = "graft", cpus: Option[String] = None): SparkSession = {
-    val n = cpus.orElse(sys.env.get("SPARK_GRAFT_CPUS")).getOrElse("4")
+    val n = cpus.orElse(sys.env.get("SPARK_GRAFT_CPUS"))
+      .getOrElse(Runtime.getRuntime.availableProcessors().toString)
     SparkSession.builder()
       .master(s"local[$n]")
       .appName(appName)

@@ -53,6 +53,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("checkpointed foreachBatch resumes without reprocessing (resume analog)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+    def runOnce(): Unit = {
+      val q = EventStream.readStream(spark, sfDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          processed.addAndGet(batch.count())
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterFirst = processed.get()
+    assert(afterFirst == Tables.load(spark, sfDir, "events").count())
+    // restart against the same checkpoint: static source unchanged →
+    // nothing reprocessed (the control-file resume invariant, streaming form)
+    runOnce()
+    assert(processed.get() == afterFirst)
+  }
+
   test("watermarked distinct-user stream dedupes within state bounds") {
     val stream = EventStream.distinctUsersPerWindow(EventStream.readStream(spark, sfDir))
     val q = stream.writeStream
