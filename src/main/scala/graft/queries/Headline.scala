@@ -81,6 +81,29 @@ object Headline {
           sum(disc.cast(d4)).cast("double"), 4).as("promo_share"))
     },
 
+    // q17-shaped: correlated avg-quantity subquery, decorrelated into a
+    // per-part pre-aggregate; the comparison stays in exact decimals
+    // (qty * 5 * cnt < sum_qty  ⇔  qty < 0.2 * avg) so no division crosses
+    // the engines.
+    QueryDef(
+      "q17_small_quantity",
+      """WITH pa AS (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |                   count(*) AS c
+        |            FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * c < sq""".stripMargin) { (s, dir) =>
+      val d2t = DecimalType(18, 2)
+      val li = Tables.load(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast(d2t)).as("sq"), count(lit(1)).as("c"))
+      li.join(pa, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast(d2t) * 5 * col("c") < col("sq"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(d2t)).cast("double").as("total_price"))
+    },
+
     QueryDef(
       "q1_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,

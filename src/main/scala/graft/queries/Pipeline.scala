@@ -124,6 +124,54 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // d6: near-dup clustering — connected components over the verified LSH
+    // pair graph; each member mapped to its min-id representative. Oracle:
+    // recursive reachability closure over the same exact-Jaccard pairs.
+    QueryDef(
+      "d6_dedup_clusters",
+      {
+        val concatExpr = (0 until 3).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+        s"""WITH RECURSIVE
+           |tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |  unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+           |                        i -> $concatExpr)) AS s FROM tok),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |  HAVING count(*) / (any_value(0) + (SELECT n FROM sz WHERE doc_id = a.doc_id)
+           |                     + (SELECT n FROM sz WHERE doc_id = b.doc_id) - count(*)) >= 0.8),
+           |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+           |      UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT s, t FROM e
+           |          UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s WHERE e.t != r.s)
+           |SELECT s AS member, least(s, min(t)) AS cluster_rep
+           |FROM reach GROUP BY s ORDER BY member""".stripMargin
+      }) { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.8)
+      graft.pipeline.DedupCluster.connectedComponents(pairs)
+        .orderBy("member")
+    },
+
+    // d7: deterministic stratified sampling (training-mix construction):
+    // hash-mod gate with a per-language rate — reproducible on any engine.
+    QueryDef(
+      "d7_stratified_sample",
+      """SELECT lang, count(*) AS n_sampled FROM documents
+        |WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 <
+        |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 15 END
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import graft.functions.Portable
+      Tables.load(s, dir, "documents")
+        .filter(Portable.hash32(col("text")) % 100 <
+          when(col("lang") === "en", 50).when(col("lang") === "de", 30).otherwise(15))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    },
+
     // ------------------------------------------------------- similarity
     QueryDef(
       "sim1_bruteforce_knn",
