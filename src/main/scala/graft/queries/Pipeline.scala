@@ -275,6 +275,43 @@ object Pipeline {
         .orderBy("source")
     },
 
+    // t5: TF-IDF relevance scoring over a fixed query-term set; smooth idf,
+    // rounded before ranking so ordering is engine-stable.
+    QueryDef(
+      "t5_tfidf",
+      """WITH s AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\bspark\b')) AS tf1,
+        |    len(regexp_extract_all(lower(text), '\bquery\b')) AS tf2,
+        |    len(regexp_extract_all(lower(text), '\bhash\b')) AS tf3
+        |  FROM documents),
+        |d AS (SELECT count(*) AS n,
+        |        count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+        |        count(CASE WHEN tf2 > 0 THEN 1 END) AS df2,
+        |        count(CASE WHEN tf3 > 0 THEN 1 END) AS df3 FROM s)
+        |SELECT doc_id,
+        |  round(tf1 * ln((n + 1.0) / (df1 + 1.0)) + tf2 * ln((n + 1.0) / (df2 + 1.0))
+        |        + tf3 * ln((n + 1.0) / (df3 + 1.0)), 4) AS tfidf
+        |FROM s, d
+        |ORDER BY tfidf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tf = Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(lower(col("text")), lit("\\bspark\\b")).as("tf1"),
+        regexp_count(lower(col("text")), lit("\\bquery\\b")).as("tf2"),
+        regexp_count(lower(col("text")), lit("\\bhash\\b")).as("tf3"))
+      val d = tf.agg(
+        count(lit(1)).as("n"),
+        count(when(col("tf1") > 0, 1)).as("df1"),
+        count(when(col("tf2") > 0, 1)).as("df2"),
+        count(when(col("tf3") > 0, 1)).as("df3"))
+      tf.crossJoin(broadcast(d))
+        .select(col("doc_id"),
+          round(col("tf1") * log((col("n") + 1.0) / (col("df1") + 1.0)) +
+            col("tf2") * log((col("n") + 1.0) / (col("df2") + 1.0)) +
+            col("tf3") * log((col("n") + 1.0) / (col("df3") + 1.0)), 4).as("tfidf"))
+        .orderBy(desc("tfidf"), asc("doc_id"))
+        .limit(20)
+    },
+
     // --------------------------------------------------------- multimodal
     QueryDef(
       "m1_media_meta",

@@ -479,6 +479,55 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // W4: RANGE-frame moving aggregate (1h trailing window per user).
+    QueryDef(
+      "w4_range_frame",
+      """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_value
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+        .withColumn("moving_value", sum(col("v")).over(w).cast("double"))
+        .select("user_id", "ts_us", "event_id", "moving_value")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // A10: ROLLUP grouping sets (subtotal + grand-total rows).
+    QueryDef(
+      "a10_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // A12: pivoted conditional counts (linestatus columns per returnflag).
+    QueryDef(
+      "a12_pivot",
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"))
+        .orderBy("l_returnflag")
+    },
+
     // ----------------------------------------------------------------- O1-O5
     // O1/O2 sort desc/asc before planning (migration.py:1656-1662,1754)
     QueryDef(
