@@ -81,6 +81,28 @@ object Headline {
           sum(disc.cast(d4)).cast("double"), 4).as("promo_share"))
     },
 
+    // q19-shaped: disjunction of conjunctive ranges — the OR-of-ANDs
+    // predicate form; Catalyst still pushes the disjunction to the scan.
+    QueryDef(
+      "q19_disjunctive",
+      """SELECT count(*) AS n, """ +
+        ("CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)" +
+         " AS revenue ") +
+        """FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_size >= 7 AND l_quantity >= 25)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+          (col("p_size") >= 7 && col("l_quantity") >= 25))
+        .agg(count(lit(1)).as("n"),
+          sum(disc.cast(DecimalType(18, 4))).cast("double").as("revenue"))
+    },
+
     // q17-shaped: correlated avg-quantity subquery, decorrelated into a
     // per-part pre-aggregate; the comparison stays in exact decimals
     // (qty * 5 * cnt < sum_qty  ⇔  qty < 0.2 * avg) so no division crosses
