@@ -312,6 +312,45 @@ object Pipeline {
         .limit(20)
     },
 
+    // cur1: the composed curation pipeline — language gate, quality gate,
+    // near-dup drop (pairwise-dominated rule: a doc is dropped when it is
+    // the larger id of any >=0.8 pair), the shape of a real corpus build.
+    QueryDef(
+      "cur1_corpus_curation",
+      {
+        val concatExpr = (0 until 3).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+        s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |  unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+           |                        i -> $concatExpr)) AS s FROM tok),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |dominated AS (
+           |  SELECT DISTINCT id_b FROM inter
+           |  JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+           |  WHERE c / (na.n + nb.n - c) >= 0.8),
+           |gated AS (
+           |  SELECT doc_id FROM documents
+           |  WHERE len(regexp_extract_all(text, '\\S+')) >= 30
+           |    AND len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) > 0
+           |    AND doc_id NOT IN (SELECT id_b FROM dominated))
+           |SELECT count(*) AS n_kept,
+           |  (SELECT count(*) FROM documents) - count(*) AS n_dropped
+           |FROM gated""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val total = docs.count()
+      val dominated = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val kept = docs
+        .filter(graft.functions.Portable.tokenCount(col("text")) >= 30)
+        .filter(regexp_count(lower(col("text")), lit("\\b(the|and|of|to|is)\\b")) > 0)
+        .join(dominated, Seq("doc_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_kept"))
+        .select(col("n_kept"), (lit(total) - col("n_kept")).as("n_dropped"))
+    },
+
     // --------------------------------------------------------- multimodal
     QueryDef(
       "m1_media_meta",
