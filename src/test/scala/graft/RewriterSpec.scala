@@ -74,6 +74,33 @@ class RewriterSpec extends SparkTestBase {
     assert(commentedText.contains("CREATE TEXT CONFIGURATION"))
   }
 
+  test("segmentation invariants hold on randomized scripts (C1 property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val lineGen = Gen.frequency(
+      5 -> Gen.alphaNumStr.map(s => s"STATEMENT $s"),
+      2 -> Gen.const("go"),
+      1 -> Gen.const("  GO  "),
+      1 -> Gen.const(""),
+      1 -> Gen.const("-- comment"))
+    val prop = Prop.forAll(Gen.listOfN(40, lineGen)) { lines =>
+      val df = lines.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("line_no", "text")
+      val seg = Rewriter.segment(df)
+        .select("line_no", "stmt_id", "is_go").collect().sortBy(_.getLong(0))
+      val stmtIds = seg.map(_.getLong(1))
+      val gos = seg.map(_.getInt(2))
+      // monotone non-decreasing, steps of exactly the preceding go count
+      val monotone = stmtIds.zip(stmtIds.tail).forall { case (a, b) => b == a || b == a + 1 }
+      val firstIsZero = stmtIds.headOption.forall(_ == 0)
+      // stmt id == number of go lines strictly before the line
+      val exact = seg.indices.forall(i => stmtIds(i) == gos.take(i).count(_ == 1))
+      monotone && firstIsZero && exact
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("serialization brackets with sentinels and prefixes comments") {
     val (main, fk) = Rewriter.serialize(out.toSeq)
     assert(main.startsWith("-- Begin AutoUpdated_Reload"))
