@@ -83,10 +83,22 @@ object Dedup {
     verifyJaccard(docs, idCol, textCol, cand, threshold, shingleN)
   }
 
-  /** Exact Jaccard for given candidate pairs via the shingle inverted index. */
+  /** Exact Jaccard for given candidate pairs via the shingle inverted index.
+    *
+    * The shingle table is semi-joined to the candidate ids FIRST, so the
+    * inverted-index self-join runs over candidate documents only — the whole
+    * point of LSH. Without the pruning this pays the full all-pairs
+    * co-shingle cost LSH exists to avoid; with it, the verify stage is
+    * linear in the candidate set (at 100 TB: millions of candidate docs, not
+    * the entire corpus). Pruning whole docs keeps per-doc shingle counts
+    * exact, so the Jaccard values are unchanged. */
   private def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
       cand: DataFrame, threshold: Double, shingleN: Int): DataFrame = {
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id")))
+      .distinct()
     val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+      .join(candIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

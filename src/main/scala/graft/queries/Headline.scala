@@ -75,7 +75,7 @@ object Headline {
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-        .join(broadcast(Tables.load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(round(lit(100.0) *
           sum(when(col("p_type").like("SMALL%"), disc.cast(d4)).otherwise(lit(0).cast(d4))).cast("double") /
           sum(disc.cast(d4)).cast("double"), 4).as("promo_share"))
@@ -94,7 +94,7 @@ object Headline {
         |   OR (p_size >= 7 AND l_quantity >= 25)""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types.DecimalType
       Tables.load(s, dir, "lineitem")
-        .join(broadcast(Tables.load(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .join(Tables.load(s, dir, "part"), col("p_partkey") === col("l_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
@@ -169,8 +169,8 @@ object Headline {
         .agg(dsum(disc, 4).as("revenue"))
       val bldOrders = Tables.load(s, dir, "orders")
         .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
-        .join(broadcast(Tables.load(s, dir, "customer")
-          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")),
+        .join(Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
           col("o_custkey") === col("c_custkey"), "left_semi")
       liAgg.join(bldOrders, col("l_orderkey") === col("o_orderkey"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -194,7 +194,7 @@ object Headline {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.load(s, dir, "supplier")),
+        .join(Tables.load(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
@@ -237,7 +237,7 @@ object Headline {
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
       liAgg.join(ords, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(sum(col("rev_part")).cast("double").as("revenue"))
@@ -265,7 +265,7 @@ object Headline {
           dsum(col("l_quantity")).as("sum_qty"))
         .filter(col("qdec") > 150)
       liAgg.join(Tables.load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice").cast("double").as("total_price"), col("sum_qty"))
         .orderBy(desc("total_price"), asc("o_orderkey"))

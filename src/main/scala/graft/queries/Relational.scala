@@ -185,7 +185,7 @@ object Relational {
       """SELECT p_brand, count(*) AS n_lines FROM lineitem JOIN part
         |ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand").agg(count(lit(1)).as("n_lines"))
         .orderBy("p_brand")
     },
@@ -231,7 +231,7 @@ object Relational {
         |ORDER BY n_name, o_orderpriority""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name", "o_orderpriority").agg(count(lit(1)).as("n"))
         .orderBy("n_name", "o_orderpriority")
@@ -258,7 +258,7 @@ object Relational {
         |ON o_custkey = c_custkey
         |WHERE o_totalprice > 300000.0 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .filter(col("o_totalprice") > 300000.0)
         .select("o_orderkey", "c_name")
         .orderBy("o_orderkey")
@@ -324,7 +324,7 @@ object Relational {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .filter(!col("event_type").isin("error"))
-        .join(broadcast(t(s, dir, "customer")), col("user_id") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("user_id") === col("c_custkey"))
         .groupBy("c_custkey").agg(count(lit(1)).as("n_events"))
         .orderBy("c_custkey")
     },
@@ -436,6 +436,12 @@ object Relational {
 
     // W2 running marker count — the C1 statement-segmentation primitive
     // (migration.py:1126-1145: stmt id = running count of 'go' lines).
+    // Two-phase distributed prefix sum, NOT a global unpartitioned window:
+    // phase 1 computes the running sum inside fixed-width event_id buckets
+    // (each a bounded window partition), phase 2 cumulates the per-bucket
+    // totals (a window over n/W rows, broadcast back). The single-partition
+    // form is correct only for MB-sized scripts (Rewriter.segment documents
+    // that); over an SF-scaling table it must distribute like this.
     QueryDef(
       "w2_running_segment_id",
       """SELECT event_id,
@@ -444,12 +450,21 @@ object Relational {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("event_id")
+      val bucketWidth = 4096L
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("clk"))
+        .withColumn("bkt", (col("event_id") / bucketWidth).cast("long"))
+      val inBucket = Window.partitionBy("bkt").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "events")
-        .withColumn("segment_id",
-          sum(when(col("event_type") === "click", 1).otherwise(0)).over(w))
-        .select("event_id", "segment_id")
+      val bucketOffsets = ev.groupBy("bkt").agg(sum("clk").as("tot"))
+        .withColumn("off", coalesce(
+          sum("tot").over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      ev.withColumn("run", sum("clk").over(inBucket))
+        .join(broadcast(bucketOffsets), Seq("bkt"))
+        .select(col("event_id"), (col("run") + col("off")).as("segment_id"))
         .orderBy("event_id")
     },
 

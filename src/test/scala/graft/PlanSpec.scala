@@ -35,6 +35,75 @@ class PlanSpec extends SparkTestBase {
       "LSH candidate generation degenerated into a cartesian product")
   }
 
+  test("d2 LSH verify: shingle self-join inputs are candidate-pruned (semi-joins)") {
+    // the Jaccard-verify stage must semi-join the shingle table to the LSH
+    // candidate ids BEFORE the inverted-index self-join — otherwise the
+    // verify pays the all-pairs cost LSH exists to avoid
+    val p = planOf("d2_minhash_lsh")
+    assert(p.contains("LeftSemi"), "verify stage is not candidate-pruned")
+  }
+
+  test("d5 embedding near-dup: banded-SRP equi-join, no nested-loop blowup") {
+    // nested-loop joins are allowed ONLY against constant-size plan
+    // fragments (the broadcast hyperplane Range) — never between two scans
+    // of the data. The pair-forming join must be an equi-join.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = SparkEntry.queries("d5_embedding_near_dup")(spark, sfDir)
+      .queryExecution.executedPlan
+    val plan = exec match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    assert(!plan.toString.contains("CartesianProduct"), "cartesian in d5")
+    plan.foreach {
+      case j: BroadcastNestedLoopJoinExec =>
+        val buildSide = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          case _ => j.left
+        }
+        val s = buildSide.toString
+        assert(s.contains("Range (") && !s.contains("FileScan"),
+          s"nested-loop join broadcasts a data table:\n$s")
+      case _ =>
+    }
+  }
+
+  test("no hinted broadcast of SF-scaling tables (customer/supplier/part)") {
+    // hints override autoBroadcastJoinThreshold, so a hinted broadcast of a
+    // table that grows with scale factor is a driver OOM at 100x. Assert on
+    // the analyzed plan's hints: only fixed-size dims (nation/region) may be
+    // hinted. AQE remains free to broadcast anything at runtime.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("q3_shipping_priority", "q5_local_revenue", "q10_returned_items",
+        "q14_revenue_share", "q18_large_orders", "q19_disjunctive",
+        "j2_fact_dim_join", "j7_key_join", "j11_exclusion_join")) {
+      val analyzed = SparkEntry.queries(q)(spark, sfDir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint =>
+          val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
+          for (t <- Seq("customer", "supplier", "part.parquet", "lineitem", "orders"))
+            assert(!leaves.contains(t), s"$q: hinted broadcast of scaling table $t")
+        case _ =>
+      }
+    }
+  }
+
+  test("w2 running sum: no global unpartitioned window over the events table") {
+    // the two-phase prefix sum may only run an unpartitioned window over the
+    // per-bucket totals (n/4096 rows), never over the full row stream
+    val analyzed = SparkEntry.queries("w2_running_segment_id")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
+    analyzed.foreach {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        // the only unpartitioned window must sit above the bucket aggregate
+        assert(w.collectFirst { case a: Aggregate => a }.nonEmpty,
+          "global window runs over raw events rows, not bucket totals")
+      case _ =>
+    }
+  }
+
   test("p9: multi-predicate conjunction reaches the scan") {
     // plan toString truncates long filter lists — assert on the stable prefix
     val p = planOf("p9_conjunction")
