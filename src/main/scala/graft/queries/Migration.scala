@@ -42,6 +42,65 @@ object Migration {
         .orderBy("line_no")
     },
 
+    // C2b: catalog-driven artifact-rule assembly (migration.py:646-989) —
+    // dbo-owned + '_sap\_%'-owned objects, their indexes/triggers/procs,
+    // the MULTILEVEL view-dependency closure, sap GRANT CONNECT entries and
+    // the static dbo call list, as one deterministic rule relation. Oracle
+    // replays the same joins with a recursive CTE over identical VALUES.
+    QueryDef(
+      "c3_rule_assembly",
+      {
+        val f = graft.rewrite.CatalogFixture
+        s"""WITH RECURSIVE
+           |u AS (SELECT * FROM ${f.usersLiteral}),
+           |tb AS (SELECT * FROM ${f.tablesLiteral}),
+           |ix AS (SELECT * FROM ${f.indexesLiteral}),
+           |tg AS (SELECT * FROM ${f.triggersLiteral}),
+           |pr AS (SELECT * FROM ${f.procsLiteral}),
+           |ob AS (SELECT * FROM ${f.objectsLiteral}),
+           |dp AS (SELECT * FROM ${f.depsLiteral}),
+           |owned AS (
+           |  SELECT tb.*, u.user_name FROM tb JOIN u ON creator = user_id
+           |  WHERE (lower(user_name) = 'dbo' OR lower(user_name) LIKE '_sap\\_%' ESCAPE '\\')
+           |    AND table_type = 'BASE' AND server_type = 'IQ'),
+           |reach AS (
+           |  SELECT child, parent FROM dp
+           |  UNION SELECT r.child, d.parent FROM reach r JOIN dp d ON r.parent = d.child),
+           |ownedviews AS (
+           |  SELECT DISTINCT ob.obj_name FROM reach
+           |  JOIN owned ON reach.parent = owned.object_id
+           |  JOIN ob ON ob.object_id = reach.child),
+           |ownedprocs AS (
+           |  SELECT proc_name FROM pr JOIN u ON creator = user_id
+           |  WHERE (lower(user_name) = 'dbo' OR lower(user_name) LIKE '_sap\\_%' ESCAPE '\\')
+           |    AND proc_name NOT LIKE 'sp_%' AND proc_name NOT LIKE 'sa_%'),
+           |rules AS (
+           |  SELECT table_name AS pattern, 'COMMENT' AS action, 'CREATE TABLE' AS pat1, user_name AS pat2 FROM owned
+           |  UNION ALL SELECT table_name, 'COMMENT', 'CREATE procedure', user_name FROM owned
+           |  UNION ALL SELECT index_name, 'COMMENT', 'CREATE', 'INDEX' FROM ix JOIN owned USING (table_id)
+           |  UNION ALL SELECT trigger_name, 'COMMENT', 'CREATE TRIGGER', 'NULL' FROM tg JOIN owned USING (table_id)
+           |  UNION ALL SELECT trigger_name, 'COMMENT', 'COMMENT ON', 'TRIGGER' FROM tg JOIN owned USING (table_id)
+           |  UNION ALL SELECT trigger_name, 'COMMENT', 'COMMENT TO PRESERVE FORMAT ON', 'TRIGGER' FROM tg JOIN owned USING (table_id)
+           |  UNION ALL SELECT obj_name, 'COMMENT', 'CREATE VIEW', 'NULL' FROM ownedviews
+           |  UNION ALL SELECT obj_name, 'COMMENT', 'COMMENT ON', 'VIEW' FROM ownedviews
+           |  UNION ALL SELECT obj_name, 'COMMENT', 'COMMENT TO PRESERVE FORMAT ON', 'VIEW' FROM ownedviews
+           |  UNION ALL SELECT proc_name, 'COMMENT', 'CREATE procedure', 'NULL' FROM ownedprocs
+           |  UNION ALL SELECT proc_name, 'COMMENT', 'COMMENT ON', 'Procedure' FROM ownedprocs
+           |  UNION ALL SELECT proc_name, 'COMMENT', 'COMMENT TO PRESERVE FORMAT ON', 'Procedure' FROM ownedprocs
+           |  UNION ALL SELECT proc_name, 'COMMENT', 'CREATE FUNCTION', 'NULL' FROM ownedprocs
+           |  UNION ALL SELECT user_name, 'COMMENT', 'GRANT CONNECT', 'NULL' FROM u
+           |            WHERE lower(user_name) LIKE '_sap\\_%' ESCAPE '\\'
+           |  UNION ALL SELECT 'call', 'COMMENT', c, 'dbo' FROM (VALUES
+           |    ('sa_reset_identity'), ('sa_make_object'), ('sa_sync'), ('sa_sync_sub'),
+           |    ('sa_internal_load_cost_model'), ('sa_internal_system_task'),
+           |    ('sa_refresh_text_indexes'), ('sa_refresh_materialized_views')) AS cl(c))
+           |SELECT DISTINCT pattern, action, pat1, pat2 FROM rules
+           |ORDER BY pattern, action, pat1, pat2""".stripMargin
+      }) { (s, _) =>
+      graft.rewrite.RuleAssembly.fixtureRelation(s)
+        .orderBy("pattern", "action", "pat1", "pat2")
+    },
+
     // O3: LPT node assignment (driver-side planner over the catalog-sized
     // work list; deterministic but heap-recursive — rows-only).
     QueryDef.rowsOnly("o3_lpt_assign") { (s, dir) =>

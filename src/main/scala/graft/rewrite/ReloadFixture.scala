@@ -32,10 +32,27 @@ object ReloadFixture {
     "go",
     "CREATE DOMAIN \"money_t\" NUMERIC(18,2) AS USER \"DBA\"",
     "go",
+    // procedure whose body contains a line-rule artifact (call dbo.sa_sync):
+    // the line pass comments that line, the sweep then comments the whole
+    // procedure (migration.py:1248-1283)
+    "CREATE PROCEDURE \"DBA\".\"sync_all\"()",
+    "BEGIN",
+    "  call dbo.sa_sync('full')",
+    "END",
+    "go",
     "CREATE INDEX \"idx_hng\" ON \"DBA\".\"orders\" (\"o_id\") FOR HNG",
     "go",
+    // iqunload-style blank padding around the GRANT block: the reference's
+    // password blanket comments ±4 lines unconditionally (migration.py:
+    // 1221-1237), so real reload scripts rely on this spacing
+    "",
+    "",
+    "",
     "GRANT CONNECT TO \"analyst\" IDENTIFIED BY password values '0x1234abcd'",
     "go",
+    "",
+    "",
+    "",
     "CREATE VIEW \"DBA\".\"v_orders\" AS SELECT o_id FROM \"DBA\".\"orders\"",
     "go",
     "COMMIT WORK",

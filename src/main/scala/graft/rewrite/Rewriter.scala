@@ -45,16 +45,35 @@ object Rewriter {
   /** Word-replace rules applied to lines of NON-commented statements. */
   final case class Replace(from: String, to: String)
 
+  /** Single-line comment rules: pattern AND pat1 both on ONE line ⇒ that
+    * line alone is commented (migration.py:1236-1246, the
+    * default_logical_server / call-style artifacts). Statement rules comment
+    * whole go-delimited statements; line rules surgically hit lines inside
+    * otherwise-kept statements (procedure bodies — which is what arms the
+    * procedure sweep, migration.py:1248-1283). */
+  final case class LineRule(pattern: String, pat1: String)
+
   /** The built-in rule set, mirroring Common/DB_Artifacts.list:1-33 semantics
-    * against our dialect subset. Order matters (migration.py:1106-1107). */
+    * against our dialect subset. Order matters (migration.py:1106-1107).
+    * `password values` is NOT here: the reference excludes it from the
+    * statement pass (migration.py:1112) and blankets ±4 lines around each
+    * hit instead (1221-1237) — see [[rewrite]]. */
   val defaultRules: Seq[Rule] = Seq(
     Rule("CREATE TEXT CONFIGURATION", banner = "text configuration"),
     Rule("EXTERNAL NAME", banner = "external-environment procedure"),
     Rule("CREATE EXISTING TABLE", banner = "proxy table"),
     Rule("ALTER DBSPACE", banner = "dbspace DDL"),
     Rule("CREATE INDEX", pat1 = Some("HNG"), banner = "HNG index"),
-    Rule("password values", banner = "password hash"),
     Rule("default_logical_server", banner = "logical server option"))
+
+  /** Line-level rules: unsupported calls / options commented in place
+    * (reference: the sa_* dbo call list, migration.py:720-728, matched
+    * per-line at 1236-1246). */
+  val defaultLineRules: Seq[LineRule] = Seq(
+    "sa_reset_identity", "sa_make_object", "sa_sync", "sa_sync_sub",
+    "sa_internal_load_cost_model", "sa_internal_system_task",
+    "sa_refresh_text_indexes", "sa_refresh_materialized_views")
+    .map(p => LineRule("call", p))
 
   /** C3 (migration.py:1211-1219): CREATE DOMAIN keeps the statement but the
     * `AS USER …` suffix is stripped (`re.split(r"AS USER +")[0]`). */
@@ -88,10 +107,33 @@ object Rewriter {
 
   /** Full rewrite: returns the per-line output with comment/FK flags.
     * Statement classification runs distributed per stmt group; the ordered
-    * rule cascade is applied with the whole (broadcast-sized) rule list. */
+    * rule cascade is applied with the whole (broadcast-sized) rule list.
+    *
+    * Pass order, mirroring the reference's commands loop:
+    *  1. statement rules — comment whole go-delimited statements
+    *     (migration.py:1110-1178; our statement extent is the full
+    *     go-to-go span, a documented superset of the reference's
+    *     comment/blank-bounded sub-extent).
+    *  2. line rules — comment single matching lines inside kept statements
+    *     (migration.py:1236-1246).
+    *  3. `password values` blanket — the matching line and 4 lines either
+    *     side, crossing statement boundaries exactly like the reference
+    *     (migration.py:1221-1237).
+    *  4. procedure sweep — a create/replace procedure statement left
+    *     partially commented by passes 2-3 is commented entirely
+    *     (migration.py:1248-1283: "stored procedure with commented
+    *     unsupported artifacts ⇒ comment entire stored procedure").
+    *  5. word replaces — applied to EVERY line, commented and FK included
+    *     (migration.py:1286-1293 runs unconditionally over all lines; the
+    *     FK script is derived from the already-replaced text at 1338-1386,
+    *     so the deferred FK DDL targets the renamed objects).
+    *
+    * The blanket/sweep windows order by line_no unpartitioned — correct for
+    * MB-sized scripts (same note as [[segment]]). */
   def rewrite(spark: SparkSession, rawLines: Seq[String],
       rules: Seq[Rule] = defaultRules,
-      replaces: Seq[Replace] = defaultReplaces): Dataset[OutLine] = {
+      replaces: Seq[Replace] = defaultReplaces,
+      lineRules: Seq[LineRule] = defaultLineRules): Dataset[OutLine] = {
     import spark.implicits._
     val lines = rawLines.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
@@ -104,29 +146,50 @@ object Rewriter {
       .select(col("stmt_id"),
         concat_ws("\n", expr("transform(ls, x -> x.text)")).as("stmt_text"))
     val allRules = rules ++ Seq(fkRule, domainStripRule)
+    val procPat = "(?is).*\\b(create|replace)\\s+procedure\\b.*"
     val classify = udf { stmtText: String =>
       val hit = allRules.find(r => matches(stmtText, r))
+      val isProc = stmtText.matches(procPat)
       hit match {
-        case Some(r) if r == fkRule => ("fk", r.banner)
-        case Some(r) if r == domainStripRule => ("strip_domain", r.banner)
-        case Some(r) => ("comment", r.banner)
-        case None => ("keep", "")
+        case Some(r) if r == fkRule => ("fk", r.banner, isProc)
+        case Some(r) if r == domainStripRule => ("strip_domain", r.banner, isProc)
+        case Some(r) => ("comment", r.banner, isProc)
+        case None => ("keep", "", isProc)
       }
     }
     val classified = stmts
       .withColumn("cls", classify(col("stmt_text")))
-      .select(col("stmt_id"), col("cls._1").as("action"), col("cls._2").as("banner"))
+      .select(col("stmt_id"), col("cls._1").as("action"), col("cls._2").as("banner"),
+        col("cls._3").as("is_proc"))
     val joined = seg.join(broadcast(classified), Seq("stmt_id"))
+    // pass 2: line rules (only lines of otherwise-kept statements)
+    val lineRuleHit = lineRules.foldLeft(lit(false)) { (acc, r) =>
+      acc || (col("text").rlike(wb(r.pattern)) && col("text").rlike(wb(r.pat1)))
+    }
+    // pass 3: password blanket — ±4 lines around any `password values` hit
+    val blanketW = Window.orderBy("line_no").rowsBetween(-4, 4)
+    val flagged = joined
+      .withColumn("pw_hit", col("text").contains("password values").cast("int"))
+      .withColumn("line_hit",
+        (col("action") === "keep" && lineRuleHit).cast("int"))
+      .withColumn("line_commented",
+        (max(col("pw_hit")).over(blanketW) === 1) || (col("line_hit") === 1))
+    // pass 4: procedure sweep — partially-commented procedures comment whole
+    val sweepW = Window.partitionBy("stmt_id")
+    val swept = flagged.withColumn("sweep",
+      col("is_proc") && col("action") === "keep" &&
+        max(col("line_commented").cast("int")).over(sweepW) === 1)
+    // pass 5: word replaces on every line (reference replaces unconditionally)
     val replaced = replaces.foldLeft(col("text")) { (c, r) =>
       regexp_replace(c, "(?i)\\b" + java.util.regex.Pattern.quote(r.from) + "\\b", r.to)
     }
-    joined.select(
+    swept.select(
         col("line_no"), col("stmt_id"),
-        when(col("action") === "keep", replaced)
-          .when(col("action") === "strip_domain",
+        when(col("action") === "strip_domain",
             regexp_replace(replaced, "(?i)\\s+AS USER\\s+.*$", ""))
-          .otherwise(col("text")).as("text"),
-        (col("action") === "comment").as("commented"),
+          .otherwise(replaced).as("text"),
+        (col("action") === "comment" || col("line_commented") || col("sweep"))
+          .as("commented"),
         (col("action") === "fk").as("is_fk"))
       .as[OutLine]
   }

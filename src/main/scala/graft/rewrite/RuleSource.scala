@@ -32,11 +32,18 @@ object RuleSource {
     (rules, replaces)
   }
 
-  /** Load a rule file through the engine's text source (charset-aware). */
+  /** Load a rule file charset-aware (the reference's `codecs.open(f, "r",
+    * common.charset)`, Common/common.py:338-347 — EUC-JP fallback etc.).
+    *
+    * Spark's text source decodes UTF-8 only on the read path (its
+    * `encoding` option is write-side), so non-UTF-8 rule files ride the
+    * binaryFile source and decode with the requested charset. Rule lists
+    * are tiny control data — driver-side by design. */
   def load(spark: SparkSession, path: String, encoding: String = "UTF-8")
       : (Seq[Rewriter.Rule], Seq[Rewriter.Replace]) = {
-    val lines = spark.read.option("encoding", encoding).textFile(path)
-      .collect().toSeq // rule lists are tiny control data, driver-side by design
-    parse(lines)
+    val bytes = spark.read.format("binaryFile").load(path)
+      .select("content").head().getAs[Array[Byte]](0)
+    val text = new String(bytes, java.nio.charset.Charset.forName(encoding))
+    parse(text.split("\r?\n", -1).toSeq)
   }
 }

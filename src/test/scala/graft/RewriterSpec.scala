@@ -7,17 +7,17 @@ class RewriterSpec extends SparkTestBase {
   lazy val out = Rewriter.rewrite(spark, ReloadFixture.lines).collect().sortBy(_.line_no)
 
   test("segmentation assigns one stmt_id per go-delimited statement") {
-    // fixture has 11 `go` lines → statements 0..10; every line belongs to
+    // fixture has 12 `go` lines → statements 0..11; every line belongs to
     // the statement whose `go` closes it (the go line included)
     val goLines = ReloadFixture.lines.zipWithIndex.filter(_._1.trim.equalsIgnoreCase("go"))
-    assert(goLines.size == 11)
+    assert(goLines.size == 12)
     val byLine = out.map(l => l.line_no -> l.stmt_id).toMap
     // first statement: lines 0-2 (header comment + SET + go)
     assert(byLine(0L) == 0 && byLine(2L) == 0)
     // line after the first go starts stmt 1
     assert(byLine(3L) == 1)
     // last line (final go) is in the last statement
-    assert(byLine((ReloadFixture.lines.size - 1).toLong) == 10)
+    assert(byLine((ReloadFixture.lines.size - 1).toLong) == 11)
   }
 
   test("artifact rules comment the unsupported statement classes") {
@@ -28,9 +28,11 @@ class RewriterSpec extends SparkTestBase {
     assert(commented.contains(stmtOf("EXTERNAL NAME")))
     assert(commented.contains(stmtOf("FOR HNG")))
     assert(commented.contains(stmtOf("password values")))
-    // plain CREATE TABLE / VIEW / COMMIT statements stay
-    assert(!commented.contains(stmtOf("CREATE VIEW")))
-    assert(!commented.contains(stmtOf("COMMIT WORK")))
+    // plain CREATE TABLE / VIEW / COMMIT lines stay (the password blanket
+    // may comment blank padding inside a neighbor statement, so assert on
+    // the content lines, not the statement ids)
+    assert(!out.filter(_.text.contains("CREATE VIEW")).exists(_.commented))
+    assert(!out.filter(_.text.contains("COMMIT WORK")).exists(_.commented))
   }
 
   test("CREATE DOMAIN is kept with the AS USER suffix stripped (C3)") {
@@ -63,15 +65,86 @@ class RewriterSpec extends SparkTestBase {
     assert(fkLines.exists(_.text.contains("REFERENCES")))
   }
 
-  test("word-replace rules rewrite kept statements only") {
+  test("word-replace rules rewrite every line, FK and commented included") {
     // kept CREATE TABLE had owner "DBA" and dbspace IQ_SYSTEM_MAIN
     val kept = out.filter(l => !l.commented && !l.is_fk).map(_.text).mkString("\n")
     assert(kept.contains("\"HDLADMIN\".\"customer\""))
     assert(kept.contains("user_object_store"))
     assert(!kept.contains("IQ_SYSTEM_MAIN"))
-    // commented lines keep their original text (prefixing happens at serialize)
+    // the reference's replace pass runs over ALL lines (migration.py:
+    // 1286-1293) and derives the FK file from the replaced text, so the
+    // deferred FK DDL must target the RENAMED objects
+    val fkText = out.filter(_.is_fk).map(_.text).mkString("\n")
+    assert(fkText.contains("HDLADMIN"), "FK DDL kept the pre-rename owner")
+    assert(!fkText.contains("DBA"))
     val commentedText = out.filter(_.commented).map(_.text).mkString("\n")
     assert(commentedText.contains("CREATE TEXT CONFIGURATION"))
+  }
+
+  test("procedure sweep: a proc with a line-commented artifact is fully commented") {
+    // `call dbo.sa_sync` inside sync_all is hit by a line rule; the sweep
+    // (migration.py:1248-1283) must then comment the WHOLE procedure, not
+    // leave a broken-but-uncommented body
+    val procLines = out.filter(l =>
+      l.text.contains("sync_all") || l.text.contains("sa_sync") ||
+        (l.stmt_id == out.find(_.text.contains("sync_all")).get.stmt_id))
+    assert(procLines.nonEmpty)
+    assert(procLines.forall(_.commented),
+      s"procedure not fully swept: ${procLines.filterNot(_.commented).map(_.text)}")
+    // the external-name proc was already statement-commented, not swept
+    assert(out.filter(_.text.contains("EXTERNAL NAME")).forall(_.commented))
+  }
+
+  test("password blanket comments the matching line and its +-4 neighbors") {
+    val grant = out.find(_.text.contains("password values")).get
+    val near = out.filter(l =>
+      l.line_no >= grant.line_no - 4 && l.line_no <= grant.line_no + 4)
+    assert(near.forall(_.commented), "blanket left a neighbor uncommented")
+    // the next real statement (CREATE VIEW) sits outside the blanket radius
+    assert(out.filter(_.text.contains("CREATE VIEW")).forall(l => !l.commented))
+  }
+
+  test("catalog-assembled rules comment dbo/_sap_ objects and dependent views") {
+    import graft.rewrite.RuleAssembly
+    val assembled = RuleAssembly.toRules(RuleAssembly.fixtureRelation(spark))
+    // multilevel closure: v_audit2 depends on audit_log only through v_audit
+    assert(assembled.exists(r => r.pattern == "v_audit2" && r.pat1.contains("CREATE VIEW")))
+    // LIKE-ESCAPE owner matching: xsap_ops matches '_sap\_%', sapling does not
+    assert(assembled.exists(r => r.pattern == "ops_log"))
+    assert(!assembled.exists(r => r.pattern.contains("sapling")))
+    // SA-server tables are excluded; DBA-owned views are not commented
+    assert(!assembled.exists(r => r.pattern == "audit_proxy"))
+    assert(!assembled.exists(r => r.pattern == "v_orders"))
+    val script = Seq(
+      "CREATE TABLE \"dbo\".\"audit_log\" (x INTEGER)",
+      "go",
+      "CREATE VIEW \"DBA\".\"v_audit2\" AS SELECT * FROM \"DBA\".\"v_audit\"",
+      "go",
+      "CREATE TABLE \"DBA\".\"orders2\" (y INTEGER)",
+      "go")
+    val res = Rewriter.rewrite(spark, script,
+      rules = Rewriter.defaultRules ++ assembled).collect().sortBy(_.line_no)
+    assert(res.filter(_.text.contains("audit_log")).forall(_.commented))
+    assert(res.filter(_.text.contains("v_audit2")).forall(_.commented))
+    assert(res.filter(_.text.contains("orders2")).forall(l => !l.commented))
+  }
+
+  test("charset-aware rule source: Latin-1 bytes decode faithfully (S4/C3)") {
+    import graft.rewrite.RuleSource
+    val dir = java.nio.file.Files.createTempDirectory("graft_charset")
+    val f = dir.resolve("rules_latin1.list")
+    // 'Straße' and 'Müller' contain 0xDF / 0xFC — valid Latin-1, invalid UTF-8
+    val content = "Straße,STRASSE\nMüller,HDLADMIN\nCREATE INDEX,COMMENT,HNG\n"
+    java.nio.file.Files.write(f,
+      content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val (rules, replaces) = RuleSource.load(spark, f.toString, encoding = "ISO-8859-1")
+    assert(replaces.contains(Rewriter.Replace("Straße", "STRASSE")))
+    assert(replaces.contains(Rewriter.Replace("Müller", "HDLADMIN")))
+    assert(rules.exists(r => r.pattern == "CREATE INDEX" && r.pat1.contains("HNG")))
+    // and the same bytes read as UTF-8 must NOT round-trip (proves the
+    // encoding option is actually honored, not silently ignored)
+    val (_, wrong) = RuleSource.load(spark, f.toString, encoding = "UTF-8")
+    assert(!wrong.contains(Rewriter.Replace("Straße", "STRASSE")))
   }
 
   test("segmentation invariants hold on randomized scripts (C1 property)") {
