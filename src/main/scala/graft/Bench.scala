@@ -21,19 +21,24 @@ object Bench {
     val fns = SparkEntry.queries
     // untimed warm-up at the smoke scale: JIT, codegen cache, parquet
     // footer readers — so timings measure the queries, not JVM cold start
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     queries.Headline.benchNames.foreach { name =>
-      try { fns(name)(spark, "/root/testdata/sf0.001").count() }
+      try { fns(name)(spark, warmupDir).count() }
       catch { case _: Throwable => () }
     }
-    val results = queries.Headline.benchNames.map { name =>
+    // a failed query reports null and is EXCLUDED from the total instead of
+    // skewing it with a partial/negative wall time
+    val results: Seq[(String, Option[Double])] = queries.Headline.benchNames.map { name =>
       val t0 = System.nanoTime()
-      try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fns(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -90,13 +90,26 @@ object Main {
 
   def fullLoad(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, out: String): Unit = {
-    val results = Tables.names.map { n =>
-      val df = Tables.load(spark, sfDir, n)
-      Loader.loadVerified(df, df.count(), s"$out/warehouse/$n")
+    // resume reconciliation (load_schema_and_data.py:776-874): previously
+    // ok-loaded tables are skipped, previously FAILED tables retry FIRST
+    val loadedPath = Paths.get(s"$out/HDL_LoadedTables.out")
+    val loadedOk: Set[String] =
+      if (Files.exists(loadedPath))
+        Files.readAllLines(loadedPath).toArray(Array.empty[String])
+          .filter(_.endsWith(",Y")).map(_.split(',')(0).stripPrefix("graft.")).toSet
+      else Set.empty
+    val work = Tables.names.map { n =>
+      Loader.LoadWork(n,
+        () => Tables.load(spark, sfDir, n),
+        () => Tables.load(spark, sfDir, n).count())
     }
-    Files.writeString(Paths.get(s"$out/HDL_LoadedTables.out"),
-      results.map(r => s"graft.${r.tableName},${r.loaded},${if (r.ok) "Y" else "N"}")
-        .mkString("", "\n", "\n"))
+    val results = Loader.loadAll(work, s"$out/warehouse",
+      Paths.get(s"$out/HDL_FailedTables.out"), loadedOk)
+    val keptOk = loadedOk.filterNot(results.map(_.tableName).toSet)
+      .map(n => s"graft.$n,-,Y")
+    Files.writeString(loadedPath,
+      (results.map(r => s"graft.${r.tableName},${r.loaded},${if (r.ok) "Y" else "N"}")
+        ++ keptOk).mkString("", "\n", "\n"))
     require(results.forall(_.ok), "load verification failed for some tables")
   }
 }

@@ -82,11 +82,22 @@ object Extract {
     if (complex) Binary else GzipText
   }
 
+  /** Row count observed DURING the write (single input scan). The old
+    * `df.count()` + write pair read every input row twice — at 100 TB that
+    * doubles extraction cost. `Observation` rides the write job itself
+    * (exact under task retries, unlike a bare accumulator tap) and blocks
+    * only until that job finishes. */
+  private def writeCounted(df: DataFrame, numFiles: Int)(
+      write: DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")).repartition(numFiles))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   /** Binary-format extract (parquet) for tables with non-text-able columns. */
   def extractParquet(df: DataFrame, outDir: String, numFiles: Int = 8): Long = {
-    val cnt = df.count()
-    df.repartition(numFiles)
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    val cnt = writeCounted(df, numFiles)(
+      _.write.mode(SaveMode.Overwrite).parquet(outDir))
     writeManifest(outDir, cnt, "parquet")
     cnt
   }
@@ -96,12 +107,11 @@ object Extract {
     * migration.py:1445-1458). Partition count bounds file count the way
     * Temp_Extract_Name1..8 did (migration.py:2382-2396). */
   def extractGzipCsv(df: DataFrame, outDir: String, numFiles: Int = 8): Long = {
-    val cnt = df.count()
-    df.repartition(numFiles)
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "gzip")
-      .option("header", "true")
-      .csv(outDir)
+    val cnt = writeCounted(df, numFiles)(
+      _.write.mode(SaveMode.Overwrite)
+        .option("compression", "gzip")
+        .option("header", "true")
+        .csv(outDir))
     writeManifest(outDir, cnt, "gzip_csv")
     cnt
   }

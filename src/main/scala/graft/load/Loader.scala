@@ -17,24 +17,63 @@ object Loader {
 
   final case class LoadResult(tableName: String, expected: Long, loaded: Long, ok: Boolean)
 
-  /** Stage → verify → promote one table. Returns the verify record. */
+  /** One table's load work; `df` is evaluated only when the load runs. */
+  final case class LoadWork(name: String, df: () => DataFrame, expected: () => Long)
+
+  /** Stage → verify → promote one table.
+    *
+    * Promote is rename-aside, never delete-then-rename: `final → final.old`,
+    * `staging → final`, drop `final.old`. A crash between the two renames
+    * leaves the previous data intact under `final.old` (recovered by the
+    * next [[loadVerified]] on the same dir); the old delete-then-rename
+    * order had a window where NEITHER version existed. */
   def loadVerified(df: DataFrame, expected: Long, finalDir: String): LoadResult = {
     val staging = finalDir + ".staging"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
     val spark = df.sparkSession
-    val loaded = spark.read.parquet(staging).count()
-    val ok = loaded == expected
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val finalPath = new org.apache.hadoop.fs.Path(finalDir)
+    val oldPath = new org.apache.hadoop.fs.Path(finalDir + ".old")
+    // crash recovery: a previous promote that died between its two renames
+    // left the committed data under .old — restore it before proceeding
+    if (!fs.exists(finalPath) && fs.exists(oldPath)) fs.rename(oldPath, finalPath)
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    val loaded = spark.read.parquet(staging).count()
+    val ok = loaded == expected
     if (ok) {
-      if (fs.exists(finalPath)) fs.delete(finalPath, true)
+      if (fs.exists(oldPath)) fs.delete(oldPath, true)
+      if (fs.exists(finalPath)) fs.rename(finalPath, oldPath)
       fs.rename(stagingPath, finalPath)
+      if (fs.exists(oldPath)) fs.delete(oldPath, true)
     } else {
       fs.delete(stagingPath, true) // rollback analog
     }
     LoadResult(finalDir.split('/').last, expected, loaded, ok)
+  }
+
+  /** Failed-first load ordering (load_schema_and_data.py:854-874): the
+    * reference drains its failed-retry queue before fresh work. Reads the
+    * persisted failed set, partitions the work list into (retry, fresh),
+    * runs retries first, skips tables already loaded ok, and rewrites the
+    * failed set from this run's outcomes. Returns results in execution
+    * order so the ordering contract is testable. */
+  def loadAll(work: Seq[LoadWork], warehouseDir: String,
+      failedListPath: java.nio.file.Path,
+      loadedOk: Set[String] = Set.empty): Seq[LoadResult] = {
+    val prevFailed: Set[String] =
+      if (java.nio.file.Files.exists(failedListPath))
+        java.nio.file.Files.readAllLines(failedListPath)
+          .toArray(Array.empty[String]).map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val pending = work.filter(w => prevFailed.contains(w.name) || !loadedOk.contains(w.name))
+    val (retry, fresh) = pending.partition(w => prevFailed.contains(w.name))
+    val results = (retry ++ fresh).map { w =>
+      loadVerified(w.df(), w.expected(), s"$warehouseDir/${w.name}")
+    }
+    java.nio.file.Files.writeString(failedListPath,
+      results.filterNot(_.ok).map(_.tableName).mkString("", "\n", "\n"))
+    results
   }
 
   /** Final reconciliation (load_schema_and_data.py:776-820): extracted vs

@@ -38,6 +38,24 @@ object Sources {
           sum(when(col("a.text") === col("b.text"), 1L).otherwise(0L)).as("n_matched"))
     },
 
+    // S1/S16 live mode: JDBC sink + partitioned JDBC source round-trip
+    // through embedded Derby (the sandbox's stand-in for a live server).
+    // Oracle is the source table itself — equality proves the round-trip.
+    QueryDef(
+      "s2_jdbc",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      import graft.sources.Jdbc
+      val url = Jdbc.derbyUrl(
+        java.nio.file.Files.createTempDirectory("graft_jdbc").toString)
+      val nation = Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      Jdbc.write(nation, url, "nation_live")
+      Jdbc.readPartitioned(s, url, "nation_live",
+          "n_nationkey", lower = 0L, upper = 24L, numPartitions = 4)
+        .orderBy("n_nationkey")
+    },
+
     // S9: per-row LOB file sink + binaryFile read-back
     // (migration.py:2262-2296): one file per payload, byte totals preserved.
     QueryDef(

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** S1/S16 live mode: JDBC source + sink (SURVEY §2.1).
+  *
+  * The reference's entire ingestion is a live server connection
+  * (`/root/reference/Migration/migration.py:316-337`, `Common/common.py:
+  * 221-247` — pyodbc over an IQ DSN) and its load phase writes back through
+  * the same connection (`Migration/load_schema_and_data.py:295-299`). The
+  * Spark-native equivalent is the JDBC data source: `spark.read.jdbc` for
+  * catalog/table ingestion, `df.write.jdbc` for load — parquet fixtures
+  * remain the default (test) mode, this is the live path.
+  *
+  * Scale shape: a single-partition JDBC read is a one-connection funnel, so
+  * [[readPartitioned]] exposes the partitionColumn/bounds form — Spark opens
+  * `numPartitions` parallel connections each scanning a key range, which is
+  * how a 100 TB table actually leaves a server. Predicates/column pruning
+  * push into the remote query (JDBCRelation builds WHERE/SELECT lists).
+  *
+  * The sandbox has no server, so specs run against embedded Derby (in
+  * `/opt/spark/jars`, started in-process via the jdbc:derby: URL).
+  */
+object Jdbc {
+
+  /** Keep Derby's log out of the working directory (it writes derby.log
+    * into user.dir by default). Idempotent. */
+  private lazy val quietDerby: Unit = {
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        System.getProperty("java.io.tmpdir") + "/derby.log")
+  }
+
+  private def props(extra: (String, String)*): Properties = {
+    val p = new Properties()
+    extra.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  /** Live-mode table read: one connection, full scan. */
+  def read(spark: SparkSession, url: String, table: String): DataFrame = {
+    quietDerby
+    spark.read.jdbc(url, table, props())
+  }
+
+  /** Parallel live-mode read: `numPartitions` range-partitioned connections
+    * over `partitionCol` ∈ [lower, upper] — the form that scales. */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+      partitionCol: String, lower: Long, upper: Long,
+      numPartitions: Int): DataFrame = {
+    quietDerby
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions, props())
+  }
+
+  /** Live-mode load (C5's write half): append/overwrite into a server table.
+    * Overwrite maps to the reference's drop-and-reload
+    * (load_schema_and_data.py:295-299). */
+  def write(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    quietDerby
+    df.write.mode(mode).jdbc(url, table, props())
+  }
+
+  /** An embedded-Derby URL for a throwaway database under `dir`. */
+  def derbyUrl(dir: String): String = s"jdbc:derby:$dir/graftdb;create=true"
+}

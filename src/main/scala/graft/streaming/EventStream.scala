@@ -42,13 +42,16 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Stateful per-user session counting via flatMapGroupsWithState-style
-    * running state — here expressed with the simpler dropDuplicates +
-    * window composition; the typed-state variant is [[sessionize]]. */
+  /** Distinct users per event type with BOUNDED dedup state: plain
+    * `dropDuplicates(user_id, event_type)` never evicts (the keys carry no
+    * event time, so the watermark can't expire them and state grows with
+    * distinct keys forever); `dropDuplicatesWithinWatermark` keys the state
+    * by the same columns but expires entries once they age past the
+    * watermark — the shape that holds on an unbounded feed. */
   def distinctUsersPerWindow(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("distinct_users"))
 

@@ -62,4 +62,31 @@ class PlannerSpec extends SparkTestBase {
     assert(spilled.isEmpty)
     assert(batches.flatten.map(_.name).toSet == Set("empty1", "t"))
   }
+
+  test("extract reads its input once (count observed during the write)") {
+    import org.apache.spark.scheduler.SparkListener
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
+          case _ =>
+        }
+    }
+    val df = graft.core.Tables.load(spark, sfDir, "nation")
+    df.count() // materialize the session/read path before listening
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft_onescan").toString + "/x"
+      val n = Extract.extractGzipCsv(df, out, numFiles = 2)
+      assert(n == 25)
+      // listener bus is async — wait for it to drain
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (execs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(execs.get() == 1,
+        s"extract ran ${execs.get()} SQL executions; the count()+write pair would be 2")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -90,4 +90,48 @@ class TransferCliSpec extends SparkTestBase {
       graft.cli.Main.main(Array("--premigration", "--fullload")))
     assertThrows[IllegalArgumentException](graft.cli.Main.main(Array.empty))
   }
+
+  test("load retries failed tables FIRST on resume (load_schema_and_data.py:854-874)") {
+    import graft.load.Loader
+    val base = Files.createTempDirectory("graft_retry").toString
+    val failedList = Paths.get(s"$base/HDL_FailedTables.out")
+    def work(badExpected: Boolean) = Seq("nation", "region", "supplier").map { n =>
+      Loader.LoadWork(n,
+        () => graft.core.Tables.load(spark, sfDir, n),
+        () => {
+          val c = graft.core.Tables.load(spark, sfDir, n).count()
+          if (badExpected && n == "region") c + 1 else c // inject one failure
+        })
+    }
+    // run 1: region fails verification → recorded in the failed set
+    val r1 = Loader.loadAll(work(badExpected = true), s"$base/wh", failedList)
+    assert(r1.count(_.ok) == 2 && !r1.find(_.tableName == "region").get.ok)
+    assert(Files.readString(failedList).trim == "region")
+    // run 2: region must be retried BEFORE fresh work, then succeed
+    val okNames = r1.filter(_.ok).map(_.tableName).toSet
+    val r2 = Loader.loadAll(work(badExpected = false), s"$base/wh", failedList, okNames)
+    assert(r2.head.tableName == "region", s"failed table not retried first: $r2")
+    assert(r2.forall(_.ok) && r2.map(_.tableName) == Seq("region"))
+    assert(Files.readString(failedList).trim.isEmpty)
+    // final reconciliation invariant: everything loaded
+    import spark.implicits._
+    val extracted = Seq("nation", "region", "supplier").toDF("t")
+    val loaded = (okNames ++ r2.map(_.tableName)).toSeq.toDF("t")
+    assert(Loader.unloadedTables(extracted, loaded, "t").count() == 0)
+  }
+
+  test("promote keeps previous data recoverable at every step (rename-aside)") {
+    import graft.load.Loader
+    val base = Files.createTempDirectory("graft_promote").toString
+    val nation = graft.core.Tables.load(spark, sfDir, "nation")
+    val r1 = Loader.loadVerified(nation, nation.count(), s"$base/nation")
+    assert(r1.ok)
+    // simulate a crash that happened between the two renames: final moved
+    // aside, staging never promoted — the next load must recover .old
+    Files.move(Paths.get(s"$base/nation"), Paths.get(s"$base/nation.old"))
+    val r2 = Loader.loadVerified(nation.limit(5), 99L, s"$base/nation") // fails verify
+    assert(!r2.ok)
+    // previous committed data was restored from .old despite the failed load
+    assert(spark.read.parquet(s"$base/nation").count() == 25)
+  }
 }
