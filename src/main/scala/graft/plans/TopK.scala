@@ -6,7 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 object TopK {
 
   /** Top `k` rows per key group by `ordCol` (descending by default),
-    * executed with bounded per-key heaps instead of a window sort. */
+    * executed with bounded per-key heaps instead of a window sort — a
+    * map-side partial pass runs before the shuffle, so the exchange carries
+    * at most k·keys·partitions rows. NULL order values rank WORST in both
+    * directions (nulls-last): a null-ord row is returned only when its
+    * group has fewer than k non-null rows. */
   def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String, k: Int,
       descending: Boolean = true): DataFrame = {
     val spark = df.sparkSession

@@ -18,9 +18,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * no sort buffers, no spill pressure — the difference between "sort 100 TB"
   * and "stream 100 TB through fixed-size state".
   *
+  * The planner emits a TWO-PHASE pair, aggregation-style: a `partial` exec
+  * runs pre-shuffle on whatever partitioning the child has (per-partition
+  * top-k per key is a correct partial: the global winners are a subset of
+  * the per-partition winners), so the exchange carries at most
+  * k·keys·partitions rows instead of every input row; the `final` exec
+  * declares a ClusteredDistribution and Catalyst inserts the single hash
+  * shuffle between them.
+  *
+  * NULL ordering: rows whose ordering expression is null rank WORST in both
+  * directions (`desc_nulls_last` / `asc_nulls_last`) — they surface only
+  * when a group has fewer than k non-null rows. This is the window parity
+  * tested by TopKSpec (Spark's bare `desc` default is also nulls-last;
+  * bare `asc` would be nulls-first — we deliberately pin nulls-last for
+  * both, documented on [[TopK.perKey]]).
+  *
   * Pieces: [[TopKPerKeyNode]] (logical), [[TopKStrategy]] (planner rule),
-  * [[TopKPerKeyExec]] (physical, declares a ClusteredDistribution so
-  * Catalyst inserts the single hash shuffle), wired via
+  * [[TopKPerKeyExec]] (physical ×2), wired via
   * `spark.experimental.extraStrategies` or [[graft.plans.GraftExtensions]].
   */
 case class TopKPerKeyNode(keys: Seq[Expression], ord: Expression, k: Int,
@@ -34,20 +48,24 @@ case class TopKPerKeyNode(keys: Seq[Expression], ord: Expression, k: Int,
 class TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, ord, k, desc, child) =>
-      TopKPerKeyExec(keys, ord, k, desc, planLater(child)) :: Nil
+      val partial = TopKPerKeyExec(keys, ord, k, desc, partial = true, planLater(child))
+      TopKPerKeyExec(keys, ord, k, desc, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
-    descending: Boolean, child: SparkPlan) extends UnaryExecNode {
+    descending: Boolean, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
-  // one hash shuffle on the keys — Catalyst inserts the exchange
+  // partial runs wherever the child's rows already are; the final pass
+  // declares the single hash shuffle on the keys (Catalyst inserts it)
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial || keys.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -59,12 +77,21 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val boundOrd = BindReferences.bindReference(ordExpr, childOutput)
-      val baseOrdering = TypeUtils.getInterpretedOrdering(ordExpr.dataType)
-      // heap root = the currently-worst retained row, so `better than root`
-      // decides eviction; for top-k-largest the worst is the smallest
-      val worstFirst: Ordering[(Any, UnsafeRow)] =
-        if (desc) Ordering.by[(Any, UnsafeRow), Any](_._1)(baseOrdering.asInstanceOf[Ordering[Any]]).reverse
-        else Ordering.by[(Any, UnsafeRow), Any](_._1)(baseOrdering.asInstanceOf[Ordering[Any]])
+      val baseOrdering =
+        TypeUtils.getInterpretedOrdering(ordExpr.dataType).asInstanceOf[Ordering[Any]]
+      // preference: higher = better = kept. Nulls are the global minimum
+      // (nulls-last in both directions, see class doc).
+      def prefCompare(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else if (desc) baseOrdering.compare(a, b)
+        else -baseOrdering.compare(a, b)
+      // heap root (dequeue target) = currently-worst retained row
+      val worstFirst: Ordering[(Any, UnsafeRow)] = new Ordering[(Any, UnsafeRow)] {
+        override def compare(x: (Any, UnsafeRow), y: (Any, UnsafeRow)): Int =
+          prefCompare(y._1, x._1) // reversed: max of this ordering = worst
+      }
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]]()
       iter.foreach { row =>
         val key = keyProj(row)
@@ -74,15 +101,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
           heaps.put(key.copy(), heap)
         }
         val v = boundOrd.eval(row)
-        if (v != null) {
-          if (heap.size < kk) {
-            heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
-          } else {
-            val worst = heap.head._1
-            val better = if (desc) baseOrdering.asInstanceOf[Ordering[Any]].compare(v, worst) > 0
-                         else baseOrdering.asInstanceOf[Ordering[Any]].compare(v, worst) < 0
-            if (better) { heap.dequeue(); heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy())) }
-          }
+        if (heap.size < kk) {
+          heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
+        } else if (prefCompare(v, heap.head._1) > 0) {
+          heap.dequeue()
+          heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
         }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]

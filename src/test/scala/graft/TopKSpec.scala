@@ -45,6 +45,41 @@ class TopKSpec extends SparkTestBase {
     assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
   }
 
+  test("NULL order values rank worst in both directions (window nulls-last parity)") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(3.0)), ("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
+      ("b", None), ("b", None), ("b", Some(5.0)),
+      ("c", None)) // group of only-null: must still surface
+      .toDF("k", "v")
+    def multiset(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getOrElse(-1e18))).toMap
+    for (desc <- Seq(true, false)) {
+      val ordCol = if (desc) col("v").desc_nulls_last else col("v").asc_nulls_last
+      val w = Window.partitionBy("k").orderBy(ordCol)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      val viaOp = TopK.perKey(df, Seq("k"), "v", k = 2, descending = desc)
+      assert(multiset(viaOp) == multiset(viaWindow), s"descending=$desc")
+    }
+  }
+
+  test("planner emits a map-side partial pass before the exchange") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val plan = TopK.perKey(orders, Seq("o_custkey"), "o_totalprice", k = 3)
+      .queryExecution.executedPlan.toString
+    // final above the exchange, partial below it: partial top-k bounds the
+    // shuffle to k rows per key per input partition
+    val iFinal = plan.indexOf("TopKPerKey ")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    assert(iFinal >= 0 && iExchange >= 0 && iPartial >= 0, s"missing nodes:\n$plan")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"partial/exchange/final out of order:\n$plan")
+  }
+
   test("k larger than group size returns whole groups") {
     val nation = Tables.load(spark, sfDir, "nation")
       .select(col("n_regionkey"), col("n_nationkey").cast("double").as("v"))
