@@ -45,9 +45,22 @@ object Main {
 
   def premigration(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, out: String): Unit = {
+    // environment gates first (migration.py:316-414 runs them before any
+    // phase): simplex local engine, write-probe = source dir writability
+    // (no side effects), forced write mode like the reference's `--mode w`
+    // since sandbox fixtures are not a readonly server
+    val gates = graft.premigration.Gates.evaluate(spark,
+      props = Map("version" -> s"graft/spark ${spark.version}",
+        "readonly" -> "Off"),
+      nodes = Seq.empty, connectedServer = "local",
+      probeWriteSucceeds = () => Files.isWritable(Paths.get(sfDir)),
+      forceWriteMode = true).collect()
+    require(gates.forall(_.getBoolean(1)), "environment gates failed")
+    val gateReport = gates.map(r =>
+      f"gate:${r.getString(0)}%-22s pass=${r.getBoolean(1)}  ${r.getString(2)}")
     val findings = Checks.findings(spark, sfDir).collect()
-    val report = findings.map(r =>
-      f"${r.getString(0)}%-28s ${r.getLong(1)}%8d  actionRequired=${r.getBoolean(2)}")
+    val report = (gateReport ++ findings.map(r =>
+      f"${r.getString(0)}%-28s ${r.getLong(1)}%8d  actionRequired=${r.getBoolean(2)}"))
       .mkString("# graft pre-migration report\n", "\n", "\n")
     Files.writeString(Paths.get(s"$out/pre_migration.out"), report)
   }

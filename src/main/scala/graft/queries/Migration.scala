@@ -101,6 +101,55 @@ object Migration {
         .orderBy("pattern", "action", "pat1", "pat2")
     },
 
+    // Environment/version gates (migration.py:316-414) over a fixed MPX
+    // topology + property fixture; oracle recomputes every decision branch
+    // in SQL over the identical literals.
+    QueryDef(
+      "g1_env_gates",
+      """WITH nodes AS (SELECT * FROM (VALUES
+        |    ('coord1','coordinator','included','active'),
+        |    ('w1','writer','included','active'),
+        |    ('r1','reader','included','suspended')) AS t(server_name, role, status, inc_state)),
+        |props AS (SELECT 'SAP IQ/16.1.01.7788' AS version, 'Off' AS readonly,
+        |                 'coord1' AS connected, false AS probe_write_ok),
+        |sec AS (SELECT count(*) AS n FROM nodes
+        |        WHERE status='included' AND inc_state='active' AND role IN ('writer','reader')),
+        |coord AS (SELECT server_name FROM nodes WHERE role='coordinator'),
+        |g AS (
+        |  SELECT 'mpx_coordinator' AS gate,
+        |    (SELECT server_name FROM coord) = (SELECT connected FROM props) AS pass,
+        |    CASE WHEN (SELECT server_name FROM coord) = (SELECT connected FROM props)
+        |      THEN 'coordinator ok, ' || (SELECT n FROM sec) || ' active secondary nodes'
+        |      ELSE 'connected to ' || (SELECT connected FROM props) ||
+        |           ', coordinator is ' || (SELECT server_name FROM coord) END AS detail
+        |  UNION ALL
+        |  SELECT 'version',
+        |    NOT contains(version, 'SAP IQ/16.0.'),
+        |    CASE WHEN contains(version, 'SAP IQ/16.0.')
+        |           THEN '16.0 is not supported (no parallelized compressed extraction)'
+        |         WHEN contains(version, 'SAP IQ/16.1.01')
+        |           THEN '16.1.01: text/binary extraction without compression'
+        |         ELSE 'compressed parallel extraction' END FROM props
+        |  UNION ALL
+        |  SELECT 'readonly',
+        |    readonly = 'On' OR NOT probe_write_ok,
+        |    CASE WHEN readonly = 'On' THEN 'db_property(readonly)=On'
+        |         WHEN NOT probe_write_ok
+        |           THEN 'readonly enforced by engine (-iqro dbspaces), probe refused'
+        |         ELSE 'database is writable; start source readonly or force write mode'
+        |         END FROM props)
+        |SELECT gate, pass, detail FROM g ORDER BY gate""".stripMargin) { (s, _) =>
+      import graft.premigration.Gates
+      Gates.evaluate(s,
+        props = Map("version" -> "SAP IQ/16.1.01.7788", "readonly" -> "Off"),
+        nodes = Seq(
+          Gates.MpxNode("coord1", "coordinator", "included", "active"),
+          Gates.MpxNode("w1", "writer", "included", "active"),
+          Gates.MpxNode("r1", "reader", "included", "suspended")),
+        connectedServer = "coord1",
+        probeWriteSucceeds = () => false)
+    },
+
     // O3: LPT node assignment (driver-side planner over the catalog-sized
     // work list; deterministic but heap-recursive — rows-only).
     QueryDef.rowsOnly("o3_lpt_assign") { (s, dir) =>

@@ -1,8 +1,9 @@
 package graft.transfer
 
-import java.io.{File, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Path => JPath}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,33 +12,50 @@ import org.apache.spark.sql.functions._
   * The reference uploads per-file over WebHDFS with curl, validates by
   * LISTSTATUS size compare, and works around a 95 GB single-file limit with
   * `split --bytes=95G` + remote MERGE (`/root/reference/Migration/
-  * copy_data_to_hdlfs.sh:16,52-159`). Here: chunked copy + merge in plain
-  * JVM I/O (the transfer plane is not a Spark job — it moves opaque bytes),
-  * while the VALIDATION plane is Spark: a join over (name, size) listings,
-  * which is exactly the reconciliation shape that scales to millions of
-  * files.
+  * copy_data_to_hdlfs.sh:16,52-159`).
+  *
+  * The transfer plane here is the Hadoop `FileSystem` API, so ONE code path
+  * serves every scheme a URI names: `file://` in the sandbox specs,
+  * `hdfs://` on a cluster, and `webhdfs://host:port/...` — Hadoop's WebHDFS
+  * client speaks the same REST endpoints the reference curls (OP=CREATE,
+  * LISTSTATUS…), with kerberos/token auth handled by the filesystem.
+  * The VALIDATION plane is Spark: a join over (name, size) listings —
+  * the reconciliation shape that scales to millions of files.
   */
 object Transfer {
 
+  private def fsFor(uri: Path, conf: Configuration): FileSystem = {
+    val fs = uri.getFileSystem(conf)
+    // raw byte plane: no sibling .crc artifacts in the upload dirs
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    fs
+  }
+
   /** Copy `src` to `dstDir`, splitting into ≤ chunkBytes parts when needed
-    * (the 95 GB workaround). Returns the part files written. */
-  def copyChunked(src: Path, dstDir: Path, chunkBytes: Long): Seq[Path] = {
-    Files.createDirectories(dstDir)
-    val size = Files.size(src)
-    if (size <= chunkBytes) {
-      val dst = dstDir.resolve(src.getFileName.toString)
-      Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Seq(dst)
-    } else {
-      val in = new FileInputStream(src.toFile)
-      try {
+    * (the 95 GB workaround). Works on any FileSystem scheme. Returns the
+    * part files written. */
+  def copyChunked(src: Path, dstDir: Path, chunkBytes: Long,
+      conf: Configuration): Seq[Path] = {
+    val sfs = fsFor(src, conf)
+    val dfs = fsFor(dstDir, conf)
+    dfs.mkdirs(dstDir)
+    val size = sfs.getFileStatus(src).getLen
+    val in = sfs.open(src)
+    try {
+      if (size <= chunkBytes) {
+        val dst = new Path(dstDir, src.getName)
+        val out = dfs.create(dst, true)
+        try in.transferTo(out) finally out.close()
+        Seq(dst)
+      } else {
         val buf = new Array[Byte](1 << 20)
         var part = 0
-        var written = Seq.newBuilder[Path]
+        val written = Seq.newBuilder[Path]
         var remaining = size
         while (remaining > 0) {
-          val dst = dstDir.resolve(s"${src.getFileName}.part$part")
-          val out = new FileOutputStream(dst.toFile)
+          val dst = new Path(dstDir, s"${src.getName}.part$part")
+          val out = dfs.create(dst, true)
           try {
             var partBytes = 0L
             var n = 0
@@ -53,27 +71,45 @@ object Transfer {
           part += 1
         }
         written.result()
-      } finally in.close()
-    }
+      }
+    } finally in.close()
   }
 
   /** Server-side MERGE analog: concatenate parts (in order) into one file
-    * and delete them (the DELETE_BATCH step). */
-  def merge(parts: Seq[Path], dst: Path): Unit = {
-    val out = new FileOutputStream(dst.toFile)
+    * and delete them (the DELETE_BATCH step). Cross-scheme: parts may live
+    * on one filesystem and `dst` on another. */
+  def merge(parts: Seq[Path], dst: Path, conf: Configuration): Unit = {
+    val dfs = fsFor(dst, conf)
+    val out = dfs.create(dst, true)
     try parts.foreach { p =>
-      val in = new FileInputStream(p.toFile)
+      val pfs = fsFor(p, conf)
+      val in = pfs.open(p)
       try in.transferTo(out) finally in.close()
     } finally out.close()
-    parts.foreach(p => Files.delete(p))
+    parts.foreach(p => fsFor(p, conf).delete(p, false))
   }
 
-  /** Listing of (file_name, size_bytes) as a DataFrame — the LISTSTATUS
-    * validation source (load_schema_and_data.py:342-406). */
+  // NIO-path overloads (sandbox/local callers), same engine underneath.
+  def copyChunked(src: JPath, dstDir: JPath, chunkBytes: Long): Seq[JPath] =
+    copyChunked(new Path(src.toUri), new Path(dstDir.toUri), chunkBytes,
+      new Configuration())
+      .map(p => java.nio.file.Paths.get(p.toUri))
+
+  def merge(parts: Seq[JPath], dst: JPath): Unit =
+    merge(parts.map(p => new Path(p.toUri)), new Path(dst.toUri),
+      new Configuration())
+
+  /** Listing of (file_name, size_bytes) as a DataFrame — for a webhdfs://
+    * URI this IS the reference's LISTSTATUS call
+    * (load_schema_and_data.py:342-406), issued by the Hadoop client. */
   def listing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).map(f => (f.getName, f.length)).toSeq.sortBy(_._1)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
     files.toDF("file_name", "size_bytes")
   }
 
