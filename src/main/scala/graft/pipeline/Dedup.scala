@@ -112,20 +112,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram-Jaccard pairs ≥ threshold (no LSH): the oracle-shaped
-    * inverted-index join. Quadratic only in colliding shingles. */
+  /** Exact n-gram-Jaccard pairs ≥ threshold (no LSH), with PREFIX-FILTERED
+    * candidate generation (the AllPairs/PPJoin family — Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07; public algorithm).
+    *
+    * Order shingles globally by (document frequency asc, shingle): for
+    * J(A,B) ≥ t the globally-first COMMON shingle must lie within both
+    * docs' prefixes of length |d| - ceil(t·|d|) + 1 — otherwise all common
+    * shingles fit in a suffix of size ceil(t·|d|)-1 < t·|d| ≤ |A∩B|,
+    * a contradiction. So the candidate equi-join touches only prefix
+    * shingles — and because rarest-first ordering puts stopword shingles
+    * (the hot keys that make the naive inverted index quadratic) LAST,
+    * they never enter the join unless a doc is almost all stopwords.
+    * Verification is exact over the pruned candidate set, so the output
+    * equals the naive all-pairs join row for row.
+    *
+    * (ceil on the fp product is safe: ceil(x)-1 < x holds for any x > 0,
+    * so the suffix bound survives floating-point noise in t·n.) */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), Seq("id_b"))
-      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
-      .filter(col("c") / (col("na") + col("nb") - col("c")) >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(docFreq, Seq("s"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("id").orderBy("df", "s")))
+      .join(sizes, Seq("id"))
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "s")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(docs, idCol, textCol, cand, threshold, shingleN)
   }
 
   /** 32-bit SimHash signature per document (term-frequency weighted: every

@@ -40,6 +40,36 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("prefix-filtered Jaccard equals the naive all-pairs result (AllPairs exactness)") {
+    // randomized docs with deliberately hot shingles (shared stopword runs)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("the", "of", "and", "spark", "query", "hash", "scan",
+      "join", "plan", "data", "node", "key")
+    val docs = (0 until 60).map { i =>
+      val len = 5 + rnd.nextInt(20)
+      val words = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, (words ++ Seq("the", "of", "the")).mkString(" ")) // hot tail
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t, shingleN = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // independent naive computation over collected shingle sets
+      val shingles = docs.collect().map { r =>
+        val w = r.getString(1).toLowerCase.split("\\s+")
+        r.getLong(0) -> w.sliding(2).map(_.mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        a <- shingles.keys; b <- shingles.keys if a < b
+        inter = (shingles(a) & shingles(b)).size
+        uni = (shingles(a) | shingles(b)).size
+        j = inter.toDouble / uni if j >= t
+      } yield (a, b,
+        BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      assert(got == want, s"threshold $t: prefix filter diverged from naive")
+    }
+  }
+
   test("ivf with nprobe == #cells equals brute force") {
     val q = emb.filter(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
