@@ -17,7 +17,7 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     q.Relational.defs ++ q.Inventory.defs ++ q.Migration.defs ++
-      q.Pipeline.defs ++ q.Headline.defs ++ q.Sources.defs
+      q.Pipeline.defs ++ q.Headline.defs ++ q.HeadlineExt.defs ++ q.Sources.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
