@@ -86,6 +86,22 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Write the corpus partitioned by its cell column — the IVF index
+    * layout. Each cell becomes a `cell=<v>/` directory, so a probed read
+    * is partition-PRUNED at the source: Spark lists and scans only the
+    * probed cells' files, never the rest of the corpus. At 100 TB with
+    * nprobe ≪ #cells this is the difference between scanning terabytes
+    * and scanning the few cells the query actually ranks. */
+  def writeCellPartitioned(corpus: DataFrame, cellCol: String, path: String): Unit =
+    corpus.write.mode("overwrite").partitionBy(cellCol).parquet(path)
+
+  /** Probed read over a cell-partitioned corpus: `cell IN (probed…)` is a
+    * partition filter (shows under PartitionFilters in the scan, with no
+    * data filter needed). */
+  def readProbedCells(spark: org.apache.spark.sql.SparkSession, path: String,
+      cellCol: String, probed: Seq[Long]): DataFrame =
+    spark.read.parquet(path).filter(col(cellCol).isin(probed: _*))
+
   /** Sign-random-projection LSH bucket per vector: `nbits` hyperplanes with
     * deterministic md5-seeded ±1 components; bucket = sign bit vector.
     * Groups near-colinear vectors; the scale path for cosine near-dup. */

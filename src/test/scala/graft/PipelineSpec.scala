@@ -79,6 +79,33 @@ class PipelineSpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("cell-partitioned IVF layout prunes unprobed cells at the scan") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
+    Similarity.writeCellPartitioned(e, "label", path)
+    val probed = Similarity.readProbedCells(spark, path, "label", Seq(0L, 1L))
+    // correctness: only the probed cells' rows come back
+    val want = e.filter(col("label").isin(0, 1)).count()
+    assert(probed.count() == want && want > 0)
+    // plan: the cell predicate is a PARTITION filter (source-level pruning),
+    // not a post-scan data filter
+    val scan = probed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    val partFilters = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(partFilters.contains("label"),
+      s"cell predicate not a partition filter: $partFilters")
+    // and only the probed cells' files are actually selected for the scan
+    val selected = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath).toSeq
+    assert(selected.nonEmpty && selected.forall(p =>
+      p.contains("label=0") || p.contains("label=1")),
+      s"scan selected files outside probed cells: ${selected.take(3)}")
+    val allCells = e.select("label").distinct().count()
+    assert(scan.selectedPartitions.partitionCount == 2 && allCells > 2,
+      "partition pruning did not reduce the cell count")
+  }
+
   test("brute-force knn ranks by cosine descending") {
     val r = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
       "vec_id", "embedding", 10).orderBy("rank").collect()
