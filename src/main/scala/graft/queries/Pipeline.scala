@@ -405,6 +405,23 @@ object Pipeline {
         .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // st2: batch twin of the stream-static enrichment join
+    // (EventStream.enrichedCountsByNation) — same plan minus the watermark;
+    // StreamingSpec proves stream/batch parity on the same data.
+    QueryDef(
+      "st2_enriched_by_nation",
+      """SELECT n_name, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .join(Tables.load(s, dir, "customer"), col("user_id") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_events"))
+        .orderBy("n_name")
     }
   )
 }

@@ -55,6 +55,21 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("distinct_users"))
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension (customer) — the standard "decorate a feed with reference
+    * data" shape. The static side is re-planned per micro-batch (so dim
+    * refreshes are picked up) and joins broadcast under AQE; no state is
+    * kept for the static side, so this composes with watermarked aggs.
+    * Output: per-nation event counts over the enriched stream. */
+  def enrichedCountsByNation(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(customer, col("user_id") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"))
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(lastTsUs: Long, sessions: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long)

@@ -53,6 +53,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got == exp)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val stream = EventStream.enrichedCountsByNation(
+      EventStream.readStream(spark, sfDir),
+      Tables.load(spark, sfDir, "customer"),
+      Tables.load(spark, sfDir, "nation"))
+    val q = stream.writeStream
+      .format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = Tables.load(spark, sfDir, "events")
+      .join(Tables.load(spark, sfDir, "customer"), col("user_id") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("checkpointed foreachBatch resumes without reprocessing (resume analog)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val processed = new java.util.concurrent.atomic.AtomicLong(0)
