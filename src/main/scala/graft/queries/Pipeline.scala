@@ -318,6 +318,42 @@ object Pipeline {
         .limit(20)
     },
 
+    // t6: per-language token-count quantiles (exact linear-interpolation
+    // percentile in both engines; corpus-stats op for quality thresholds).
+    QueryDef(
+      "t6_quality_quantiles",
+      """SELECT lang,
+        |  round(quantile_cont(tok, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(tok, 0.9), 4) AS p90_tokens
+        |FROM (SELECT lang, len(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), graft.functions.Portable.tokenCount(col("text")).as("tok"))
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(tok, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(tok, 0.9)"), 4).as("p90_tokens"))
+        .orderBy("lang")
+    },
+
+    // t7: deterministic train/val/test split — hash-range assignment, so
+    // every engine (and every rerun at any scale) buckets a doc identically.
+    QueryDef(
+      "t7_split_census",
+      """WITH h AS (SELECT CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |           FROM documents)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+      import graft.functions.Portable
+      Tables.load(s, dir, "documents")
+        .select((Portable.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("b"))
+        .select(when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    },
+
     // cur1: the composed curation pipeline — language gate, quality gate,
     // near-dup drop (pairwise-dominated rule: a doc is dropped when it is
     // the larger id of any >=0.8 pair), the shape of a real corpus build.
