@@ -443,6 +443,34 @@ object Pipeline {
         .orderBy("window_start", "event_type")
     },
 
+    // aj1: as-of join — each event picks up the most recent order (at or
+    // before the event time) of the same customer. Spark has no native
+    // as-of join; graft.operators.AsOf is the union-window formulation
+    // (one keyed shuffle), and DuckDB's native ASOF LEFT JOIN is the
+    // oracle. Right side deduped to one row per (customer, date) so tie
+    // resolution is deterministic in both engines.
+    QueryDef(
+      "aj1_asof_join",
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, o.o_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"))
+      val orders = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.operators.AsOf.join(events, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey").as("last_orderkey"))
+        .orderBy("event_id")
+    },
+
     // st2: batch twin of the stream-static enrichment join
     // (EventStream.enrichedCountsByNation) — same plan minus the watermark;
     // StreamingSpec proves stream/batch parity on the same data.

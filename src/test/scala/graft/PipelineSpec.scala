@@ -79,6 +79,31 @@ class PipelineSpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("as-of join: inclusive bound, per-key isolation, null when nothing precedes") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val quotes = Seq( // (sym, qt, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 5L, 9.0))
+      .toDF("sym", "qt", "px")
+    val trades = Seq( // (sym, tt)
+      ("A", 9L),  // before any quote → null
+      ("A", 10L), // exactly at the quote → inclusive match 1.0
+      ("A", 15L), // between quotes → 1.0
+      ("A", 25L), // after both → 2.0
+      ("B", 6L),  // B's quote, not A's → 9.0
+      ("C", 50L)) // key with no quotes → null
+      .toDF("sym", "tt")
+    val got = AsOf.join(trades, quotes, "sym", "sym", "tt", "qt", Seq("px"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got == Set(
+      ("A", 9L, None), ("A", 10L, Some(1.0)), ("A", 15L, Some(1.0)),
+      ("A", 25L, Some(2.0)), ("B", 6L, Some(9.0)), ("C", 50L, None)))
+    // plan shape: a keyed window, not a nested-loop range join
+    val plan = AsOf.join(trades, quotes, "sym", "sym", "tt", "qt", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("cell-partitioned IVF layout prunes unprobed cells at the scan") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
