@@ -468,6 +468,24 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // W5: per-key top-k through the CUSTOM TopKPerKey operator stack
+    // (logical node → strategy → partial+final heap execs) — the custom
+    // Catalyst path itself sits behind the DuckDB oracle gate. Safe to
+    // hash-compare because (o_custkey, o_totalprice) is tie-free at every
+    // test tier (verified), so the kept row set is unique.
+    QueryDef(
+      "w5_topk_per_key",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+        |  FROM orders) t WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      graft.plans.TopK.perKey(
+          t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"), "o_totalprice", k = 3)
+        .orderBy(asc("o_custkey"), desc("o_totalprice"), asc("o_orderkey"))
+    },
+
     // W3 sessionization via lag + gap (>1h) — running-state analog of the
     // reference's resumable progress accounting; windows at scale partition
     // by user so state stays distributed.
