@@ -471,6 +471,33 @@ object Pipeline {
         .orderBy("event_id")
     },
 
+    // rj1: pure range join (no equi key) — orders placed in the 24 h before
+    // each event, any customer. Spark would plan the bare range predicate
+    // as a BroadcastNestedLoopJoin; graft.operators.RangeJoin buckets time
+    // so it runs as an equi-join on bucket ids + residual filter. DuckDB's
+    // IEJoin is the oracle.
+    QueryDef(
+      "rj1_range_join",
+      """SELECT e.event_id, CAST(count(o.o_orderkey) AS BIGINT) AS n_recent_orders
+        |FROM events e LEFT JOIN orders o
+        |  ON o.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 1 DAY
+        | AND o.o_orderdate < CAST(e.ts AS TIMESTAMP)
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val dayUs = 86400L * 1000000
+      val evts = Tables.load(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("e_us"))
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      val pairs = graft.operators.RangeJoin.recentPairs(
+        evts, ords, "e_us", "o_us", windowUs = dayUs)
+      val counts = pairs.groupBy("event_id").agg(count(lit(1)).as("n"))
+      evts.select("event_id")
+        .join(counts, Seq("event_id"), "left_outer")
+        .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_recent_orders"))
+        .orderBy("event_id")
+    },
+
     // st2: batch twin of the stream-static enrichment join
     // (EventStream.enrichedCountsByNation) — same plan minus the watermark;
     // StreamingSpec proves stream/batch parity on the same data.

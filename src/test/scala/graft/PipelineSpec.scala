@@ -104,6 +104,27 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("bucketed range join equals the naive range predicate, without the nested loop") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(11)
+    val l = (0 until 200).map(i => (i.toLong, rnd.nextLong(10000L))).toDF("lid", "lt")
+    val r = (0 until 300).map(i => (i.toLong + 1000, rnd.nextLong(10000L))).toDF("rid", "rt")
+    val w = 700L
+    val got = RangeJoin.recentPairs(l, r, "lt", "rt", w)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = l.crossJoin(r)
+      .filter(col("rt") >= col("lt") - w && col("rt") < col("lt"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+    // duplicate-freedom: one row per qualifying pair
+    assert(RangeJoin.recentPairs(l, r, "lt", "rt", w).count() == want.size)
+    // the operator's plan shuffles on bucket ids — no nested loop
+    val plan = RangeJoin.recentPairs(l, r, "lt", "rt", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("cell-partitioned IVF layout prunes unprobed cells at the scan") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"

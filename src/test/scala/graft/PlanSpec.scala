@@ -104,6 +104,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q7/q8/aj1: no cartesian or data-table nested loops in the new shapes") {
+    for (q <- Seq("q7_volume_shipping", "q8_market_share", "q13_custdist",
+        "q15_top_supplier", "q22_prospects")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian")
+    }
+    // the as-of join must be a keyed window, not any kind of join
+    val aj = planOf("aj1_asof_join")
+    assert(!aj.contains("BroadcastNestedLoopJoin") && !aj.contains("CartesianProduct"))
+    assert(aj.contains("Window") || aj.contains("RunningWindowFunction"),
+      "as-of join lost its window formulation")
+  }
+
   test("p9: multi-predicate conjunction reaches the scan") {
     // plan toString truncates long filter lists — assert on the stable prefix
     val p = planOf("p9_conjunction")
