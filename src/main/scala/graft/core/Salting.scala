@@ -31,4 +31,20 @@ object Salting {
           saltedFact("__salt") === saltedDim("__salt"))
       .drop("__salt")
   }
+
+  /** Skew-mitigating two-phase count+sum aggregation: partials grouped by
+    * (key, salt) spread a hot key over `salt` reducers; the re-aggregate
+    * by key alone then touches `salt` rows per key, not the raw stream.
+    * Count and decimal-sum re-aggregation are exact, so the result equals
+    * the direct groupBy row for row (sk1 proves it against the oracle). */
+  def saltedCountSum(df: DataFrame, keyCol: String,
+      value: org.apache.spark.sql.Column, salt: Int = 8): DataFrame = {
+    require(salt > 0)
+    df.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(salt)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__c"), sum(value).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum("__c").as("n"), sum("__s").as("__sum"))
+  }
 }

@@ -219,6 +219,89 @@ object HeadlineExt {
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
     },
 
+    // q11-shaped: important parts — per-key value share against a global
+    // total (partsupp absent → lineitem extendedprice value).
+    QueryDef(
+      "q11_important_parts",
+      """WITH v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |           FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT sum(val) AS total FROM v)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v, t
+        |WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.005
+        |ORDER BY value DESC, l_partkey""".stripMargin) { (s, dir) =>
+      val d2 = DecimalType(18, 2)
+      val v = Tables.load(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast(d2)).as("val"))
+      val t = v.agg(sum("val").as("total"))
+      v.crossJoin(broadcast(t))
+        .filter(col("val").cast("double") > col("total").cast("double") * 0.005)
+        .select(col("l_partkey"), col("val").cast("double").as("value"))
+        .orderBy(desc("value"), asc("l_partkey"))
+    },
+
+    // q20-shaped: promotion candidates — nested IN-subquery with an
+    // aggregation threshold (partsupp absent → shipped quantity).
+    QueryDef(
+      "q20_promotion_candidates",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'SMALL'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val d2 = DecimalType(18, 2)
+      val qualifying = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "part").filter(col("p_type") === "SMALL"),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_quantity").cast(d2)).as("q"))
+        .filter(col("q") > 200)
+        .select("l_suppkey")
+      Tables.load(s, dir, "supplier")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // q21-shaped: sole-blame suppliers in multi-supplier orders — q21's
+    // EXISTS / NOT EXISTS correlated pair (no receipt/commit dates →
+    // returnflag='R' marks the fault).
+    QueryDef(
+      "q21_sole_blame",
+      """SELECT s_name, count(*) AS numwait FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val l1 = li.select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"),
+        col("l_returnflag").as("rf1"))
+        .filter(col("rf1") === "R")
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+      l1
+        .join(Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("k1"))
+        .join(l2, col("k2") === col("k1") && col("sk2") =!= col("sk1"), "left_semi")
+        .join(l3, col("k3") === col("k1") && col("sk3") =!= col("sk1"), "left_anti")
+        .join(Tables.load(s, dir, "supplier"), col("s_suppkey") === col("sk1"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    },
+
     // q22-shaped: prospects — above-average positive balances in a country
     // set with no orders (scalar subquery + anti-join; c_phone absent →
     // country code is c_nationkey).

@@ -471,6 +471,24 @@ object Pipeline {
         .orderBy("event_id")
     },
 
+    // sk1: skew-tolerant two-phase aggregation — the salted (key, salt)
+    // partial + exact re-aggregate path, hash-matched against the direct
+    // GROUP BY. The salting tool itself (core.Salting) sits behind the
+    // oracle gate: counts and decimal sums re-aggregate exactly.
+    QueryDef(
+      "sk1_salted_agg",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      graft.core.Salting.saltedCountSum(
+          Tables.load(s, dir, "events"), "event_type",
+          col("value").cast(DecimalType(18, 4)), salt = 8)
+        .select(col("event_type"), col("n"),
+          col("__sum").cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // rj1: pure range join (no equi key) — orders placed in the 24 h before
     // each event, any customer. Spark would plan the bare range predicate
     // as a BroadcastNestedLoopJoin; graft.operators.RangeJoin buckets time
