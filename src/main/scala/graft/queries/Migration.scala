@@ -198,6 +198,23 @@ object Migration {
         .orderBy("l_returnflag")
     },
 
+    // S7+S11: binary (parquet) extract sink round-trip with the
+    // write-observed row count feeding the manifest — the Observation
+    // single-scan path behind the oracle gate.
+    QueryDef(
+      "x2_parquet_roundtrip",
+      """SELECT count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").select("event_id", "value")
+      val out = java.nio.file.Files.createTempDirectory("graft_x2").toString + "/events"
+      val observed = Extract.extractParquet(ev, out, numFiles = 4)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+        // the observed write-count must agree with the read-back count
+        .filter(col("n") === observed)
+    },
+
     // C5: staged load + count verify + atomic promote, per table.
     QueryDef(
       "ld1_load_verify",

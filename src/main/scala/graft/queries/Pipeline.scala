@@ -426,6 +426,26 @@ object Pipeline {
         .orderBy("media_id")
     },
 
+    // m3: frame-sample fan-out — one row per sampled frame of each video
+    // payload; the deterministic fake-codec arithmetic (n % 16 frames,
+    // every 4th sampled) lets DuckDB replay the full explode.
+    QueryDef(
+      "m3_frame_sample",
+      """WITH v AS (SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, n_frames,
+        |       CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx
+        |FROM v WHERE n_frames > 0
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.decodeBatch(
+            Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))),
+          everyNth = 4)
+        .select(col("media_id"), col("n_frames"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // ---------------------------------------------------------- streaming
     // Tumbling-window aggregation — batch form of the Structured Streaming
     // query in graft.streaming (same plan modulo the watermark).
