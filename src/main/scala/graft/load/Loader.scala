@@ -40,15 +40,25 @@ object Loader {
     if (!fs.exists(finalPath) && fs.exists(oldPath)) fs.rename(oldPath, finalPath)
     df.write.mode(SaveMode.Overwrite).parquet(staging)
     val loaded = spark.read.parquet(staging).count()
-    val ok = loaded == expected
-    if (ok) {
-      if (fs.exists(oldPath)) fs.delete(oldPath, true)
-      if (fs.exists(finalPath)) fs.rename(finalPath, oldPath)
-      fs.rename(stagingPath, finalPath)
-      if (fs.exists(oldPath)) fs.delete(oldPath, true)
-    } else {
-      fs.delete(stagingPath, true) // rollback analog
+    val countOk = loaded == expected
+    // Hadoop FileSystem signals most rename/delete failures by returning
+    // false, not throwing — every step must be checked or a failed
+    // `staging → final` rename followed by the .old cleanup would delete
+    // the only committed copy while still reporting ok=true.
+    val ok = countOk && {
+      if (fs.exists(oldPath) && !fs.delete(oldPath, true)) false
+      else if (fs.exists(finalPath) && !fs.rename(finalPath, oldPath)) false
+      else if (!fs.rename(stagingPath, finalPath)) {
+        // promote failed with the committed copy parked at .old — put it
+        // back so the table is never left missing
+        if (fs.exists(oldPath)) fs.rename(oldPath, finalPath)
+        false
+      } else {
+        if (fs.exists(oldPath)) fs.delete(oldPath, true) // best-effort cleanup
+        true
+      }
     }
+    if (!countOk) fs.delete(stagingPath, true) // rollback analog
     LoadResult(finalDir.split('/').last, expected, loaded, ok)
   }
 
