@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Loader {
 
-  final case class LoadResult(tableName: String, expected: Long, loaded: Long, ok: Boolean)
+  final case class LoadResult(tableName: String, expected: Long, loaded: Long, ok: Boolean,
+      detail: String = "")
 
   /** One table's load work; `df` is evaluated only when the load runs. */
   final case class LoadWork(name: String, df: () => DataFrame, expected: () => Long)
@@ -27,17 +28,23 @@ object Loader {
     * leaves the previous data intact under `final.old` (recovered by the
     * next [[loadVerified]] on the same dir); the old delete-then-rename
     * order had a window where NEITHER version existed. */
-  def loadVerified(df: DataFrame, expected: Long, finalDir: String): LoadResult = {
+  def loadVerified(df: DataFrame, expected: Long, finalDir: String,
+      fsOverride: Option[org.apache.hadoop.fs.FileSystem] = None): LoadResult = {
     val staging = finalDir + ".staging"
     val spark = df.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOverride.getOrElse(org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration))
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val finalPath = new org.apache.hadoop.fs.Path(finalDir)
     val oldPath = new org.apache.hadoop.fs.Path(finalDir + ".old")
+    val name = finalDir.split('/').last
     // crash recovery: a previous promote that died between its two renames
-    // left the committed data under .old — restore it before proceeding
-    if (!fs.exists(finalPath) && fs.exists(oldPath)) fs.rename(oldPath, finalPath)
+    // left the committed data under .old — restore it before proceeding. A
+    // FAILED restore aborts the load: proceeding would let the later "drop
+    // stale .old" step delete the only committed copy.
+    if (!fs.exists(finalPath) && fs.exists(oldPath) && !fs.rename(oldPath, finalPath))
+      return LoadResult(name, expected, 0L, ok = false,
+        detail = "crash-recovery restore of .old failed; load aborted")
     df.write.mode(SaveMode.Overwrite).parquet(staging)
     val loaded = spark.read.parquet(staging).count()
     val countOk = loaded == expected
@@ -45,21 +52,31 @@ object Loader {
     // false, not throwing — every step must be checked or a failed
     // `staging → final` rename followed by the .old cleanup would delete
     // the only committed copy while still reporting ok=true.
+    var detail = ""
     val ok = countOk && {
-      if (fs.exists(oldPath) && !fs.delete(oldPath, true)) false
-      else if (fs.exists(finalPath) && !fs.rename(finalPath, oldPath)) false
-      else if (!fs.rename(stagingPath, finalPath)) {
+      if (fs.exists(oldPath) && !fs.delete(oldPath, true)) {
+        detail = "stale .old delete failed"; false
+      } else if (fs.exists(finalPath) && !fs.rename(finalPath, oldPath)) {
+        detail = "park rename final -> .old failed"; false
+      } else if (!fs.rename(stagingPath, finalPath)) {
         // promote failed with the committed copy parked at .old — put it
-        // back so the table is never left missing
-        if (fs.exists(oldPath)) fs.rename(oldPath, finalPath)
+        // back so the table is never left missing; a restore that ALSO
+        // fails is surfaced (the copy stays at .old until the next run's
+        // crash recovery)
+        val restored = !fs.exists(oldPath) || fs.rename(oldPath, finalPath)
+        detail = if (restored) "promote rename failed; previous data restored"
+          else "promote rename failed AND .old restore failed; previous data parked at .old"
         false
       } else {
         if (fs.exists(oldPath)) fs.delete(oldPath, true) // best-effort cleanup
         true
       }
     }
-    if (!countOk) fs.delete(stagingPath, true) // rollback analog
-    LoadResult(finalDir.split('/').last, expected, loaded, ok)
+    if (!countOk) detail = s"count mismatch: loaded $loaded, expected $expected"
+    // rollback analog: staging must not linger on ANY failure path — a
+    // leftover would be silently double-counted by directory listings
+    if (!ok && fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    LoadResult(name, expected, loaded, ok, detail)
   }
 
   /** Failed-first load ordering (load_schema_and_data.py:854-874): the

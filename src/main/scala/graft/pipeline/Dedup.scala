@@ -127,8 +127,12 @@ object Dedup {
     * Verification is exact over the pruned candidate set, so the output
     * equals the naive all-pairs join row for row.
     *
-    * (ceil on the fp product is safe: ceil(x)-1 < x holds for any x > 0,
-    * so the suffix bound survives floating-point noise in t·n.) */
+    * (The fp product t·n can land a hair ABOVE the exact integer when t·n
+    * is integral — 0.3·10 → 3.0000000000000004 → ceil 4 — which would
+    * SHORTEN the prefix and drop a pair sitting exactly at the threshold;
+    * `ceil(t·n − 1e-9)` keeps the bound safe: the epsilon is far above
+    * double rounding error and far below 1/n for any real doc size, and a
+    * too-SMALL ceil only lengthens the prefix, which never loses pairs.) */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -139,7 +143,7 @@ object Dedup {
       .withColumn("rank",
         row_number().over(Window.partitionBy("id").orderBy("df", "s")))
       .join(sizes, Seq("id"))
-      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select("id", "s")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

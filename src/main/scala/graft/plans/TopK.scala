@@ -10,16 +10,31 @@ object TopK {
     * map-side partial pass runs before the shuffle, so the exchange carries
     * at most k·keys·partitions rows. NULL order values rank WORST in both
     * directions (nulls-last): a null-ord row is returned only when its
-    * group has fewer than k non-null rows. */
+    * group has fewer than k non-null rows.
+    *
+    * `tiebreak` makes the kept SET deterministic under duplicate ord
+    * values: the heap orders by `struct(ordCol, tiebreak…)` compared
+    * lexicographically in the `descending` direction — so for a
+    * "highest-first with lowest-id tiebreak" top-k pass the NEGATED id
+    * (`-col("id")`): struct-desc of (price, -id) = price DESC, id ASC.
+    * Tiebreak mode assumes a non-null ordCol (a null field would rank via
+    * struct field order, not the scalar nulls-last rule above). */
   def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String, k: Int,
-      descending: Boolean = true): DataFrame = {
+      descending: Boolean = true,
+      tiebreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
     val spark = df.sparkSession
     ensureStrategy(spark)
-    val analyzed = df.queryExecution.analyzed
+    val src =
+      if (tiebreak.isEmpty) df
+      else df.withColumn("__graft_ord", struct(col(ordCol) +: tiebreak: _*))
+    val ordName = if (tiebreak.isEmpty) ordCol else "__graft_ord"
+    val analyzed = src.queryExecution.analyzed
     def attr(name: String) = analyzed.output.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
-    val node = TopKPerKeyNode(keyCols.map(attr), attr(ordCol), k, descending, analyzed)
-    org.apache.spark.sql.graftbridge.GraftBridge.ofRows(spark, node)
+    val node = TopKPerKeyNode(keyCols.map(attr), attr(ordName), k, descending, analyzed)
+    val out = org.apache.spark.sql.graftbridge.GraftBridge.ofRows(spark, node)
+    if (tiebreak.isEmpty) out else out.drop("__graft_ord")
   }
 
   /** Idempotently register the planner strategy on a live session. */

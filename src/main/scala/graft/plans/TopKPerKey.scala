@@ -101,11 +101,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
           heaps.put(key.copy(), heap)
         }
         val v = boundOrd.eval(row)
+        // a struct-typed ord (tiebreak mode) evals to a VIEW into the input
+        // row's buffer, which the iterator reuses — copy before retaining
+        def retained: Any = v match {
+          case r: InternalRow => r.copy()
+          case other => other
+        }
         if (heap.size < kk) {
-          heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
+          heap.enqueue((retained, row.asInstanceOf[UnsafeRow].copy()))
         } else if (prefCompare(v, heap.head._1) > 0) {
           heap.dequeue()
-          heap.enqueue((v, row.asInstanceOf[UnsafeRow].copy()))
+          heap.enqueue((retained, row.asInstanceOf[UnsafeRow].copy()))
         }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]

@@ -470,19 +470,23 @@ object Relational {
 
     // W5: per-key top-k through the CUSTOM TopKPerKey operator stack
     // (logical node → strategy → partial+final heap execs) — the custom
-    // Catalyst path itself sits behind the DuckDB oracle gate. Safe to
-    // hash-compare because (o_custkey, o_totalprice) is tie-free at every
-    // test tier (verified), so the kept row set is unique.
+    // Catalyst path itself sits behind the DuckDB oracle gate. The kept SET
+    // is deterministic by construction: both engines break o_totalprice
+    // ties by o_orderkey ASC (operator: struct-desc of (price, -orderkey);
+    // oracle: the explicit window ORDER BY), so the gate stays valid even
+    // on a regenerated fixture with tied prices.
     QueryDef(
       "w5_topk_per_key",
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t WHERE rn <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
       graft.plans.TopK.perKey(
           t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
-          Seq("o_custkey"), "o_totalprice", k = 3)
+          Seq("o_custkey"), "o_totalprice", k = 3,
+          tiebreak = Seq(-col("o_orderkey")))
         .orderBy(asc("o_custkey"), desc("o_totalprice"), asc("o_orderkey"))
     },
 

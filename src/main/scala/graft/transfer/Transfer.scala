@@ -24,69 +24,85 @@ import org.apache.spark.sql.functions._
   */
 object Transfer {
 
+  /** Raw-byte-plane filesystem for `uri`: a PRIVATE instance (never the
+    * process-wide cache `uri.getFileSystem` shares by scheme/authority/UGI)
+    * so disabling checksum siblings here cannot silently turn checksums off
+    * for every other user of the cached FS — including Spark's own I/O.
+    * Callers own the instance and must close it. */
   private def fsFor(uri: Path, conf: Configuration): FileSystem = {
-    val fs = uri.getFileSystem(conf)
+    val fs = FileSystem.newInstance(uri.toUri, conf)
     // raw byte plane: no sibling .crc artifacts in the upload dirs
     fs.setWriteChecksum(false)
     fs.setVerifyChecksum(false)
     fs
   }
 
+  private def withFs[A](uri: Path, conf: Configuration)(f: FileSystem => A): A = {
+    val fs = fsFor(uri, conf)
+    try f(fs) finally fs.close()
+  }
+
   /** Copy `src` to `dstDir`, splitting into ≤ chunkBytes parts when needed
     * (the 95 GB workaround). Works on any FileSystem scheme. Returns the
     * part files written. */
   def copyChunked(src: Path, dstDir: Path, chunkBytes: Long,
-      conf: Configuration): Seq[Path] = {
-    val sfs = fsFor(src, conf)
-    val dfs = fsFor(dstDir, conf)
-    dfs.mkdirs(dstDir)
-    val size = sfs.getFileStatus(src).getLen
-    val in = sfs.open(src)
-    try {
-      if (size <= chunkBytes) {
-        val dst = new Path(dstDir, src.getName)
-        val out = dfs.create(dst, true)
-        try in.transferTo(out) finally out.close()
-        Seq(dst)
-      } else {
-        val buf = new Array[Byte](1 << 20)
-        var part = 0
-        val written = Seq.newBuilder[Path]
-        var remaining = size
-        while (remaining > 0) {
-          val dst = new Path(dstDir, s"${src.getName}.part$part")
+      conf: Configuration): Seq[Path] =
+    withFs(src, conf) { sfs => withFs(dstDir, conf) { dfs =>
+      dfs.mkdirs(dstDir)
+      val size = sfs.getFileStatus(src).getLen
+      val in = sfs.open(src)
+      try {
+        if (size <= chunkBytes) {
+          val dst = new Path(dstDir, src.getName)
           val out = dfs.create(dst, true)
-          try {
-            var partBytes = 0L
-            var n = 0
-            while (partBytes < chunkBytes && {
-              val want = math.min(buf.length.toLong, chunkBytes - partBytes).toInt
-              n = in.read(buf, 0, want); n > 0
-            }) {
-              out.write(buf, 0, n); partBytes += n
-            }
-            remaining -= partBytes
-          } finally out.close()
-          written += dst
-          part += 1
+          try in.transferTo(out) finally out.close()
+          Seq(dst)
+        } else {
+          val buf = new Array[Byte](1 << 20)
+          var part = 0
+          val written = Seq.newBuilder[Path]
+          var remaining = size
+          while (remaining > 0) {
+            val dst = new Path(dstDir, s"${src.getName}.part$part")
+            val out = dfs.create(dst, true)
+            try {
+              var partBytes = 0L
+              var n = 0
+              while (partBytes < chunkBytes && {
+                val want = math.min(buf.length.toLong, chunkBytes - partBytes).toInt
+                n = in.read(buf, 0, want); n > 0
+              }) {
+                out.write(buf, 0, n); partBytes += n
+              }
+              remaining -= partBytes
+            } finally out.close()
+            written += dst
+            part += 1
+          }
+          written.result()
         }
-        written.result()
-      }
-    } finally in.close()
-  }
+      } finally in.close()
+    }}
 
   /** Server-side MERGE analog: concatenate parts (in order) into one file
     * and delete them (the DELETE_BATCH step). Cross-scheme: parts may live
-    * on one filesystem and `dst` on another. */
+    * on one filesystem and `dst` on another (one private instance per
+    * distinct scheme+authority, closed on exit). */
   def merge(parts: Seq[Path], dst: Path, conf: Configuration): Unit = {
-    val dfs = fsFor(dst, conf)
-    val out = dfs.create(dst, true)
-    try parts.foreach { p =>
-      val pfs = fsFor(p, conf)
-      val in = pfs.open(p)
-      try in.transferTo(out) finally in.close()
-    } finally out.close()
-    parts.foreach(p => fsFor(p, conf).delete(p, false))
+    val cache = scala.collection.mutable.LinkedHashMap.empty[String, FileSystem]
+    def fsOf(p: Path): FileSystem = {
+      val u = p.toUri
+      val key = s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}"
+      cache.getOrElseUpdate(key, fsFor(p, conf))
+    }
+    try {
+      val out = fsOf(dst).create(dst, true)
+      try parts.foreach { p =>
+        val in = fsOf(p).open(p)
+        try in.transferTo(out) finally in.close()
+      } finally out.close()
+      parts.foreach(p => fsOf(p).delete(p, false))
+    } finally cache.values.foreach(_.close())
   }
 
   // NIO-path overloads (sandbox/local callers), same engine underneath.

@@ -70,6 +70,22 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("prefix bound keeps pairs sitting exactly at an integral t·n threshold") {
+    // 0.3·10 = 3.0000000000000004 in fp: a bare ceil overshoots to 4,
+    // shortening doc A's prefix to 7 and dropping the pair whose first
+    // common shingle sits at rank 8 (the 3 shared shingles sort LAST under
+    // rarest-first because their df=2 exceeds the unique shingles' df=1)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v w x y z"), // 10 2-gram shingles, 7 unique + 3 shared
+      (2L, "p q r s")) // 3 shingles, all ⊂ doc 1 → J = 3/10 = 0.3 exactly
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3, shingleN = 2).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 0.3,
+      s"exactly-at-threshold pair dropped: ${pairs.toSeq}")
+  }
+
   test("ivf with nprobe == #cells equals brute force") {
     val q = emb.filter(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)

@@ -80,6 +80,30 @@ class TopKSpec extends SparkTestBase {
       s"partial/exchange/final out of order:\n$plan")
   }
 
+  test("tiebreak makes the kept SET deterministic under duplicated ord values") {
+    import spark.implicits._
+    // every price duplicated within its key group — without a tiebreak the
+    // kept row set would be an arbitrary 3-subset of the tied rows
+    val df = Seq(
+      ("a", 10L, 100.0), ("a", 11L, 100.0), ("a", 12L, 100.0), ("a", 13L, 100.0),
+      ("a", 14L, 50.0),
+      ("b", 20L, 7.0), ("b", 21L, 7.0), ("b", 22L, 9.0), ("b", 23L, 7.0))
+      .toDF("k", "id", "price")
+    val viaOp = TopK.perKey(df, Seq("k"), "price", k = 3,
+      tiebreak = Seq(-col("id")))
+    val w = Window.partitionBy("k").orderBy(desc("price"), asc("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "id", "price").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(viaOp) == rows(viaWindow))
+    // exact expected set: ties broken by LOWEST id
+    assert(rows(viaOp) == Seq(
+      ("a", 10L, 100.0), ("a", 11L, 100.0), ("a", 12L, 100.0),
+      ("b", 20L, 7.0), ("b", 21L, 7.0), ("b", 22L, 9.0)))
+  }
+
   test("k larger than group size returns whole groups") {
     val nation = Tables.load(spark, sfDir, "nation")
       .select(col("n_regionkey"), col("n_nationkey").cast("double").as("v"))

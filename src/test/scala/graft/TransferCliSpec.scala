@@ -120,6 +120,87 @@ class TransferCliSpec extends SparkTestBase {
     assert(Loader.unloadedTables(extracted, loaded, "t").count() == 0)
   }
 
+  test("transfer leaves the process-wide FileSystem's checksums enabled") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_crc")
+    val src = dir.resolve("payload.bin")
+    Files.write(src, Array[Byte](1, 2, 3, 4))
+    Transfer.copyChunked(src, dir.resolve("up"), 2) // raw plane: checksums off on ITS instance
+    // the CACHED local FS (what Spark and everyone else shares) must still
+    // write .crc siblings — the old code mutated it process-wide
+    val cached = new Path(dir.toUri).getFileSystem(new Configuration())
+    val probe = new Path(dir.resolve("probe.txt").toUri)
+    val out = cached.create(probe, true)
+    out.write(42); out.close()
+    assert(Files.exists(dir.resolve(".probe.txt.crc")),
+      "cached FileSystem stopped writing checksums — transfer mutated the shared instance")
+  }
+
+  test("failed promote rename reports !ok, restores previous data, and clears staging") {
+    import graft.load.Loader
+    import org.apache.hadoop.fs.{FilterFileSystem, Path => HPath}
+    val base = Files.createTempDirectory("graft_pfail").toString
+    val nation = graft.core.Tables.load(spark, sfDir, "nation")
+    assert(Loader.loadVerified(nation, nation.count(), s"$base/nation").ok)
+    val raw = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // promote (staging → final) returns FALSE: the Hadoop failure mode that
+    // doesn't throw
+    val noPromote = new FilterFileSystem(raw) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        !s.toString.endsWith(".staging") && super.rename(s, d)
+    }
+    val r = Loader.loadVerified(nation.limit(5), 5L, s"$base/nation", Some(noPromote))
+    assert(!r.ok && r.detail.contains("previous data restored"), r.toString)
+    // previous committed copy is back in place, staging did not linger
+    assert(spark.read.parquet(s"$base/nation").count() == nation.count())
+    assert(!Files.exists(Paths.get(s"$base/nation.staging")))
+    assert(!Files.exists(Paths.get(s"$base/nation.old")))
+  }
+
+  test("failed promote AND failed restore is surfaced, data parked at .old") {
+    import graft.load.Loader
+    import org.apache.hadoop.fs.{FilterFileSystem, Path => HPath}
+    val base = Files.createTempDirectory("graft_pfail2").toString
+    val nation = graft.core.Tables.load(spark, sfDir, "nation")
+    assert(Loader.loadVerified(nation, nation.count(), s"$base/nation").ok)
+    val raw = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // both the promote and the .old put-back rename fail (src-based: the
+    // promote src is .staging, the restore src is .old)
+    val noRenames = new FilterFileSystem(raw) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        !(s.toString.endsWith(".staging") || s.toString.endsWith(".old")) &&
+          super.rename(s, d)
+    }
+    val r = Loader.loadVerified(nation.limit(5), 5L, s"$base/nation", Some(noRenames))
+    assert(!r.ok && r.detail.contains("parked at .old"), r.toString)
+    assert(!Files.exists(Paths.get(s"$base/nation.staging"))) // still cleaned
+    // committed copy survives at .old; the next (healthy) run recovers it
+    assert(Files.exists(Paths.get(s"$base/nation.old")))
+    val r2 = Loader.loadVerified(nation, nation.count(), s"$base/nation")
+    assert(r2.ok && spark.read.parquet(s"$base/nation").count() == nation.count())
+  }
+
+  test("failed crash-recovery restore aborts the load instead of proceeding") {
+    import graft.load.Loader
+    import org.apache.hadoop.fs.{FilterFileSystem, Path => HPath}
+    val base = Files.createTempDirectory("graft_pfail3").toString
+    val nation = graft.core.Tables.load(spark, sfDir, "nation")
+    assert(Loader.loadVerified(nation, nation.count(), s"$base/nation").ok)
+    // crash state: final parked aside, nothing promoted
+    Files.move(Paths.get(s"$base/nation"), Paths.get(s"$base/nation.old"))
+    val raw = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val noRestore = new FilterFileSystem(raw) {
+      override def rename(s: HPath, d: HPath): Boolean =
+        !s.toString.endsWith(".old") && super.rename(s, d)
+    }
+    val r = Loader.loadVerified(nation, nation.count(), s"$base/nation", Some(noRestore))
+    assert(!r.ok && r.detail.contains("crash-recovery"), r.toString)
+    // the only committed copy is untouched at .old — NOT deleted by a
+    // blindly-proceeding load
+    assert(Files.exists(Paths.get(s"$base/nation.old")))
+  }
+
   test("promote keeps previous data recoverable at every step (rename-aside)") {
     import graft.load.Loader
     val base = Files.createTempDirectory("graft_promote").toString
