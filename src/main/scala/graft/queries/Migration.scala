@@ -231,6 +231,122 @@ object Migration {
         .orderBy("table_name")
     },
 
+    // Premigration feature audit (§3.1): the reference's full ~21-check
+    // catalog dispatch (pre_migration.py:96-757,856-905) over the
+    // deterministic SYS mirror; the oracle replays every branch in SQL over
+    // the identical VALUES literals.
+    QueryDef(
+      "pm2_feature_audit",
+      {
+        val f = graft.premigration.FeatureCatalogFixture
+        val sup = graft.premigration.FeatureAudit.SupportedServerClasses
+          .map(c => s"'$c'").mkString(", ")
+        val sys = graft.premigration.FeatureAudit.SystemUsers
+          .map(u => s"'$u'").mkString(", ")
+        s"""WITH dbsp AS (SELECT * FROM ${f.dbspacesLiteral}),
+           |iqt AS (SELECT * FROM ${f.iqTablesLiteral}),
+           |srv AS (SELECT * FROM ${f.serversLiteral}),
+           |pr AS (SELECT * FROM ${f.procsLiteral}),
+           |usr AS (SELECT * FROM ${f.usersLiteral}),
+           |cert AS (SELECT * FROM ${f.certificatesLiteral}),
+           |xenv AS (SELECT * FROM ${f.externalEnvsLiteral}),
+           |xobj AS (SELECT * FROM ${f.externalEnvObjsLiteral}),
+           |sprs AS (SELECT * FROM ${f.spatialRefsLiteral}),
+           |tb AS (SELECT * FROM ${f.tablesLiteral}),
+           |ix AS (SELECT * FROM ${f.indexesLiteral}),
+           |iqf AS (SELECT * FROM ${f.iqFilesLiteral}),
+           |ls AS (SELECT * FROM ${f.logicalServersLiteral}),
+           |opt AS (SELECT * FROM ${f.optionsLiteral}),
+           |mpx AS (SELECT * FROM ${f.mpxNodesLiteral}),
+           |chk AS (SELECT * FROM ${f.checkOptionsLiteral}),
+           |ws AS (SELECT * FROM ${f.webServicesLiteral}),
+           |props AS (SELECT '${f.properties("version")}' AS version,
+           |  '${f.properties("Encryption")}' AS encryption,
+           |  '${f.properties("MaxConnections")}' AS max_connections),
+           |fs AS (
+           |SELECT 'Multiple_DBSpaces' AS feature, false AS action_required,
+           |  'To be merged into one dbspace.' AS comment
+           |  WHERE (SELECT count(*) FROM dbsp WHERE dbspace_type = 'MAIN') > 1
+           |UNION ALL SELECT 'RLV_Support', true, 'RLV is not supported in the target engine.'
+           |  WHERE (SELECT count(*) FROM iqt WHERE is_rlv = 'T') <> 0
+           |     OR (SELECT count(*) FROM dbsp WHERE dbspace_type = 'RLV') <> 0
+           |UNION ALL SELECT 'Current_IQ_Version not 16.1', true,
+           |  'Upgrade required as parallelization in extraction is not supported in below IQ versions.'
+           |  WHERE EXISTS (SELECT 1 FROM props WHERE NOT regexp_matches(version, '16.1'))
+           |UNION ALL SELECT 'DB_Encryption Enabled', false,
+           |  'On-prem encryption key will not work in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM props WHERE encryption <> 'None')
+           |UNION ALL SELECT 'Non-SAP remote source', false,
+           |  'Target engine does not have access to clients for non-SAP data sources.'
+           |  FROM srv WHERE srvclass NOT IN ($sup)
+           |UNION ALL SELECT 'SAP remote source', true,
+           |  'Automated migration of SAP(ASE, HANA, IQ, SQL Anywhere) remote sources is not supported.'
+           |  FROM srv WHERE srvclass IN ($sup)
+           |UNION ALL SELECT 'External_UDF', true, 'External UDFs not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM pr WHERE proc_defn LIKE '%external name%')
+           |UNION ALL SELECT 'Reserved_User_Names', false,
+           |  'Reserved usernames(saptu, sapsupport, custadmin, hdladmin) to be deleted/renamed.'
+           |  WHERE EXISTS (SELECT 1 FROM usr
+           |    WHERE user_name IN ('saptu', 'sapsupport', 'custadmin', 'hdladmin'))
+           |UNION ALL SELECT 'DBA_user', false, 'To be replaced by hdladmin.'
+           |  WHERE EXISTS (SELECT 1 FROM usr WHERE user_name = 'DBA')
+           |UNION ALL SELECT 'Certificates', false,
+           |  'Security certificates to be deleted as not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM cert)
+           |UNION ALL SELECT 'External_Environment', true,
+           |  'External Environment not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM xenv)
+           |UNION ALL SELECT 'External_Environment_Objects', true,
+           |  'External Environment Objects not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM xobj)
+           |UNION ALL SELECT 'Spatial_Unit_Of_Measure', true,
+           |  'Geospatial features not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM sprs)
+           |UNION ALL SELECT 'SQLA_Tables', true,
+           |  'SQLA catalog tables not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM tb WHERE user_name NOT IN ($sys)
+           |    AND table_type = 'BASE' AND server_type = 'SA')
+           |UNION ALL SELECT 'LF_INDEXES', false,
+           |  'LF indexes are considered obsolete; default FP indexes recommended.'
+           |  WHERE EXISTS (SELECT 1 FROM ix WHERE index_type = 'LF')
+           |UNION ALL SELECT 'HNG_INDEXES', false,
+           |  'HNG indexes are considered obsolete; default FP indexes recommended.'
+           |  WHERE EXISTS (SELECT 1 FROM ix WHERE index_type = 'HNG')
+           |UNION ALL SELECT 'LOCAL_DBFILES', false, 'To be merged into one dbspace.'
+           |  WHERE EXISTS (SELECT 1 FROM iqf WHERE segment_type = 'Local')
+           |UNION ALL SELECT 'Logical_Servers', true,
+           |  'Logical servers not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM ls WHERE ls_id > 10000)
+           |UNION ALL SELECT 'DQP_Enabled', false, 'Not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM opt
+           |    WHERE "option" LIKE 'DQP_Enabled%' AND setting = 'ON')
+           |UNION ALL SELECT 'IQ_SHARED_TEMP', false, 'Not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM dbsp WHERE dbspace_name = 'IQ_SHARED_TEMP')
+           |UNION ALL SELECT 'Web_Services', false,
+           |  'Web services not supported in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM ws)
+           |UNION ALL SELECT 'MPX_Readers_Present', false,
+           |  'All target worker nodes are provisioned as writer nodes.'
+           |  WHERE EXISTS (SELECT 1 FROM mpx WHERE role = 'reader')
+           |UNION ALL SELECT 'StartupOptions', false,
+           |  'Target startup options are set based on node t-shirt size.'
+           |  WHERE EXISTS (SELECT 1 FROM props WHERE max_connections IS NOT NULL)
+           |UNION ALL SELECT 'MPX_options', false,
+           |  'MPX options not supported in the target engine.'
+           |  FROM chk WHERE option_name LIKE 'MPX_options%' AND opt_user = 'PUBLIC'
+           |UNION ALL SELECT 'MPX_test_options', false,
+           |  'MPX test options not supported in the target engine.'
+           |  FROM chk WHERE option_name LIKE 'MPX_test_options%' AND opt_user = 'PUBLIC'
+           |UNION ALL SELECT 'Temp_Extract_Directory', false,
+           |  'Reset required: must be an object store path in the target engine.'
+           |  WHERE EXISTS (SELECT 1 FROM opt
+           |    WHERE "option" LIKE 'Temp_Extract_Directory%' AND setting <> ''))
+           |SELECT feature, action_required, comment FROM fs
+           |ORDER BY feature, comment""".stripMargin
+      }) { (s, _) =>
+      graft.premigration.FeatureAudit.findings(s)
+    },
+
     // Premigration findings (§3.1): per-check scalar counts unioned.
     QueryDef(
       "pm1_findings",

@@ -47,4 +47,31 @@ class GatesSpec extends SparkTestBase {
     val rows = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(rows == Map("mpx_coordinator" -> true, "version" -> true, "readonly" -> true))
   }
+
+  test("feature audit covers the reference's full check dispatch") {
+    import graft.premigration.FeatureAudit
+    val rows = FeatureAudit.findings(spark).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    // every fixture trigger fires exactly once per triggering row
+    assert(rows.size == 26, s"got ${rows.size}: ${rows.map(_._1).mkString(",")}")
+    val features = rows.map(_._1).toSet
+    // the 21 dispatched checks (pre_migration.py:856-905) + per-row tails
+    val expected = Set(
+      "Multiple_DBSpaces", "RLV_Support", "Current_IQ_Version not 16.1",
+      "DB_Encryption Enabled", "Non-SAP remote source", "SAP remote source",
+      "External_UDF", "Reserved_User_Names", "DBA_user", "Certificates",
+      "External_Environment", "External_Environment_Objects",
+      "Spatial_Unit_Of_Measure", "SQLA_Tables", "LF_INDEXES", "HNG_INDEXES",
+      "LOCAL_DBFILES", "Logical_Servers", "DQP_Enabled", "IQ_SHARED_TEMP",
+      "Web_Services", "MPX_Readers_Present", "StartupOptions",
+      "MPX_options", "MPX_test_options", "Temp_Extract_Directory")
+    assert(features == expected, s"diff: ${(features -- expected) ++ (expected -- features)}")
+    // action_required mirrors the reference's two lists: these land on the
+    // action list (pre_migration.py appends to features_list_action)
+    val action = rows.filter(_._2).map(_._1).toSet
+    assert(action == Set("RLV_Support", "Current_IQ_Version not 16.1",
+      "SAP remote source", "External_UDF", "External_Environment",
+      "External_Environment_Objects", "Spatial_Unit_Of_Measure",
+      "SQLA_Tables", "Logical_Servers"))
+  }
 }
