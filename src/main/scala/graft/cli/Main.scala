@@ -111,10 +111,15 @@ object Main {
         Files.readAllLines(loadedPath).toArray(Array.empty[String])
           .filter(_.endsWith(",Y")).map(_.split(',')(0).stripPrefix("graft.")).toSet
       else Set.empty
-    val work = Tables.names.map { n =>
-      Loader.LoadWork(n,
-        () => Tables.load(spark, sfDir, n),
-        () => Tables.load(spark, sfDir, n).count())
+    // expected counts come from the extract phase's control file, NOT a
+    // source recount (load_schema_and_data.py:709-735): one scan per table
+    // instead of two, and verification is against the extract record so an
+    // extract-phase loss fails the load verify.
+    val ctl = Paths.get(s"$out/ExtractedTables.out")
+    require(Files.exists(ctl),
+      "--fullload requires ExtractedTables.out from a prior --fullextraction")
+    val work = Loader.extractedCounts(ctl).map { case (n, cnt) =>
+      Loader.LoadWork(n, () => Tables.load(spark, sfDir, n), () => cnt)
     }
     val results = Loader.loadAll(work, s"$out/warehouse",
       Paths.get(s"$out/HDL_FailedTables.out"), loadedOk)

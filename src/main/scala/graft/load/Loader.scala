@@ -79,6 +79,20 @@ object Loader {
     LoadResult(name, expected, loaded, ok, detail)
   }
 
+  /** Expected row counts from the extract-phase control file
+    * (`ExtractedTables.out`, lines `owner.table,tableId,rows` — written by
+    * the extract phase, parsed by the reference's load at
+    * load_schema_and_data.py:709-735). Loads verify against the EXTRACT
+    * record, not a fresh source count: that detects an extract-phase loss
+    * (a doctored/incomplete extract fails the verify) and removes one full
+    * source scan per table. Returns (table, expectedRows) in file order. */
+  def extractedCounts(path: java.nio.file.Path): Seq[(String, Long)] =
+    java.nio.file.Files.readAllLines(path).toArray(Array.empty[String])
+      .toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+        val f = line.split(',')
+        (f(0).split('.').last, f(2).toLong)
+      }
+
   /** Failed-first load ordering (load_schema_and_data.py:854-874): the
     * reference drains its failed-retry queue before fresh work. Reads the
     * persisted failed set, partitions the work list into (retry, fresh),

@@ -70,6 +70,61 @@ class TransferCliSpec extends SparkTestBase {
     assert(loaded.stream().allMatch(_.endsWith(",Y")))
   }
 
+  test("load verifies against ExtractedTables.out: one source scan per table, doctored count fails") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val out = Files.createTempDirectory("graft_ctl").toString
+    graft.cli.Main.fullExtraction(spark, sfDir, out)
+    // count executions whose analyzed plan scans each SOURCE parquet: the
+    // control-file-driven load must read each source exactly once (the old
+    // recount lambda made it twice)
+    val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new QueryExecutionListener {
+      def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        val scanned = qe.analyzed.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+        }.flatten.mkString(";")
+        plans.add(scanned)
+      }
+      def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.cli.Main.fullLoad(spark, sfDir, out)
+      // listener delivery is async — poll until the scan census stabilizes
+      def sourceScans(t: String): Int = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.toSeq.count(_.contains(s"$sfDir/$t.parquet"))
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def settled(): Boolean = graft.core.Tables.names.forall(sourceScans(_) >= 1)
+      while (!settled() && System.nanoTime() < deadline) Thread.sleep(100)
+      graft.core.Tables.names.foreach { t =>
+        assert(sourceScans(t) == 1, s"$t scanned ${sourceScans(t)}× (want exactly 1)")
+      }
+    } finally spark.listenerManager.unregister(listener)
+    // doctor the extract record: the load must FAIL verification against it
+    val ctl = Paths.get(s"$out/ExtractedTables.out")
+    val doctored = Files.readAllLines(ctl).toArray(Array.empty[String]).map { l =>
+      if (l.startsWith("graft.nation,")) {
+        val f = l.split(','); s"${f(0)},${f(1)},${f(2).toLong + 7}"
+      } else l
+    }
+    Files.writeString(ctl, doctored.mkString("", "\n", "\n"))
+    Files.delete(Paths.get(s"$out/HDL_LoadedTables.out")) // force full reload
+    val err = intercept[IllegalArgumentException](graft.cli.Main.fullLoad(spark, sfDir, out))
+    assert(err.getMessage.contains("load verification failed"))
+    val loaded = Files.readAllLines(Paths.get(s"$out/HDL_LoadedTables.out"))
+    assert(loaded.stream().anyMatch(l => l.startsWith("graft.nation,") && l.endsWith(",N")))
+    // load without a prior extraction is refused outright
+    val bare = Files.createTempDirectory("graft_noctl").toString
+    assertThrows[IllegalArgumentException](graft.cli.Main.fullLoad(spark, sfDir, bare))
+  }
+
   test("extraction resume skips tables with complete manifests") {
     val out = Files.createTempDirectory("graft_resume").toString
     graft.cli.Main.fullExtraction(spark, sfDir, out)
