@@ -47,23 +47,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF index: coarse cells (here: the corpus' own cell column), probe the
-    * `nprobe` nearest cell centroids per query, exact re-rank inside probed
-    * cells. With nprobe == #cells this is exactly brute force (the form the
-    * oracle verifies); at scale nprobe ≪ #cells prunes the scan.
+  /** Per-cell centroids: mean per dimension. Plain double means on purpose —
+    * centroid choice only affects WHICH cells are probed, never the exact
+    * re-rank inside them. */
+  def cellCentroids(corpus: DataFrame, vecCol: String, cellCol: String): DataFrame =
+    corpus
+      .select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(cellCol, "pos").agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy(cellCol).agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+      .select(col(cellCol), transform(col("pc"), s => s.getField("cx")).as("centroid"))
+
+  /** Build the IVF index ONCE — this is the training job, not a query step.
+    * Writes the corpus cell-partitioned (each cell a `cell=<v>/` directory,
+    * so probed reads partition-prune at the source) and persists the
+    * per-cell centroids beside it under `_centroids` (underscore prefix →
+    * invisible to corpus reads). At 100 TB this runs as a batch job over
+    * one corpus scan; every query thereafter touches only its `nprobe`
+    * cells and the tiny centroid table. */
+  def ivfBuild(corpus: DataFrame, vecCol: String, cellCol: String, path: String): Unit = {
+    writeCellPartitioned(corpus, cellCol, path)
+    cellCentroids(corpus, vecCol, cellCol)
+      .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+  }
+
+  /** Query the persisted IVF index: rank the (broadcast) persisted centroids
+    * per query, prune the corpus read to the union of probed cells — a
+    * PartitionFilters-pruned scan, PlanSpec-asserted — and exact re-rank
+    * inside them. With nprobe == #cells this is exactly brute force (the
+    * form the oracle verifies); at scale nprobe ≪ #cells.
     *
-    * Centroids are the per-cell running means, computed with exact decimal
-    * accumulation avoided on purpose: centroid choice only affects which
-    * cells are probed, not the exact re-rank inside them.
-    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, cellCol: String, k: Int, nprobe: Int): DataFrame = {
-    // centroid per cell: mean per dimension
-    val cent = corpus
-      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("cx"))
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
-      .select(col("cell"), transform(col("pc"), s => s.getField("cx")).as("centroid"))
+    * The probed-cell collect is bounded by the CELL count (an index
+    * parameter, thousands at most), never by corpus or query cardinality —
+    * the literal cell list is precisely what makes the scan prunable. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cent = spark.read.parquet(indexPath + "/_centroids")
+      .withColumnRenamed(cellCol, "cell")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
     // probe the nprobe closest centroids per query
@@ -74,7 +94,9 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(desc("cdist"), asc("cell"))))
       .filter(col("crank") <= nprobe)
       .select("query_id", "qv", "qn", "cell")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    val cells = probed.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val c = readProbedCells(spark, indexPath, cellCol, cells)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(cellCol).as("cell"))
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(probed, Seq("cell"))
@@ -99,7 +121,7 @@ object Similarity {
     * partition filter (shows under PartitionFilters in the scan, with no
     * data filter needed). */
   def readProbedCells(spark: org.apache.spark.sql.SparkSession, path: String,
-      cellCol: String, probed: Seq[Long]): DataFrame =
+      cellCol: String, probed: Seq[Any]): DataFrame =
     spark.read.parquet(path).filter(col(cellCol).isin(probed: _*))
 
   /** Sign-random-projection LSH bucket per vector: `nbits` hyperplanes with

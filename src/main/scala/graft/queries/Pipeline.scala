@@ -188,13 +188,16 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
-    // IVF with nprobe == #cells ⇒ exactly brute force; the cell machinery
-    // (centroids, probe ranking, per-cell re-rank) is what's under test.
+    // IVF with nprobe == #cells ⇒ exactly brute force; the full index path
+    // is what's under test: build-once (cell-partitioned corpus + persisted
+    // centroids), then query through the partition-pruned probed read.
     QueryDef(
       "sim2_ivf_knn",
       knnOracle("q.vec_id >= 10 AND q.vec_id < 20", k = 5)) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/ivf"
+      Similarity.ivfBuild(e, "embedding", "label", idx)
+      Similarity.ivfTopK(s, idx, e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 5, nprobe = 10)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")

@@ -86,13 +86,23 @@ class PipelineSpec extends SparkTestBase {
       s"exactly-at-threshold pair dropped: ${pairs.toSeq}")
   }
 
-  test("ivf with nprobe == #cells equals brute force") {
+  test("ivf through the persisted index: nprobe == #cells equals brute force") {
     val q = emb.filter(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", "label", 3, nprobe = 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString + "/ivf"
+    Similarity.ivfBuild(emb, "embedding", "label", idx)
+    val ivf = Similarity.ivfTopK(spark, idx, q, "vec_id", "embedding", "label",
+        k = 3, nprobe = 10)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
     assert(ivf == bf)
+    // a pruned probe (nprobe=2) returns a SUBSET of each query's candidates
+    // drawn only from probed cells — and still k rows per query here because
+    // every cell holds ≥ k vectors
+    val pruned = Similarity.ivfTopK(spark, idx, q, "vec_id", "embedding", "label",
+        k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+    assert(pruned.map(_._1).distinct.length == 5 && pruned.length == 15)
   }
 
   test("as-of join: inclusive bound, per-key isolation, null when nothing precedes") {

@@ -117,6 +117,25 @@ class PlanSpec extends SparkTestBase {
       "as-of join lost its window formulation")
   }
 
+  test("sim2 IVF: probed read is partition-pruned at the source") {
+    // the query path must consume the PERSISTED index: the corpus scan has
+    // the probed cells as PartitionFilters (directory pruning), not a data
+    // filter over a full scan — at 100 TB this is the entire point of IVF
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString + "/ivf"
+    Similarity.ivfBuild(e, "embedding", "label", idx)
+    // nprobe=2 of the 10 label cells: the scan must list only those 2
+    val plan = Similarity.ivfTopK(spark, idx, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", "label", k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []"))
+    assert(scanLine.exists(_.contains("label")),
+      s"probed corpus read is not partition-pruned:\n$plan")
+  }
+
   test("p9: multi-predicate conjunction reaches the scan") {
     // plan toString truncates long filter lists — assert on the stable prefix
     val p = planOf("p9_conjunction")
