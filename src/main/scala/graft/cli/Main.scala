@@ -36,9 +36,14 @@ object Main {
 
     val spark = Engine.session("graft-cli")
     spark.sparkContext.setLogLevel("WARN")
+    // batch size arrives in GB like the reference's Batch_Size_GB and goes
+    // through the same config validation (0 = batching off, else >= 100)
+    val batchGb = opt("--batchsize", "0").toInt
+    val cfg = graft.core.Config.MigrationConfig("/", batchSizeGb = batchGb)
     try phases.head match {
       case "--premigration" => premigration(spark, sfDir, out)
-      case "--fullextraction" => fullExtraction(spark, sfDir, out)
+      case "--fullextraction" =>
+        fullExtraction(spark, sfDir, out, cfg.batchSizeGb.toLong << 30)
       case "--fullload" => fullLoad(spark, sfDir, out)
     } finally spark.stop()
   }
@@ -66,7 +71,7 @@ object Main {
   }
 
   def fullExtraction(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, out: String): Unit = {
+      sfDir: String, out: String, batchCapBytes: Long = 0L): Unit = {
     // SCHEMA: rewrite the reload script, splitting FK DDL out
     val rewritten = Rewriter.rewrite(spark, ReloadFixture.lines).collect().toSeq
     val (main, fk) = Rewriter.serialize(rewritten)
@@ -76,10 +81,30 @@ object Main {
     val inv = Catalog.tableInventory(spark, sfDir).collect()
     val workList = inv.map(r => Extract.WorkItem(
       r.getString(0).split('.').last, r.getLong(1), r.getLong(2), r.getInt(3)))
+    def ctlLine(w: Extract.WorkItem) =
+      s"graft.${w.name},${w.rowCount},${w.sizeBytes},${w.tableId},N"
     Files.writeString(Paths.get(s"$out/iq_tables.list"),
-      workList.map(w => s"graft.${w.name},${w.rowCount},${w.sizeBytes},${w.tableId},N")
-        .mkString("", "\n", "\n"))
-    val done = workList.filter(_.rowCount > 0).map { w =>
+      workList.map(ctlLine).mkString("", "\n", "\n"))
+    // batch mode (migration.py:1758-1784): size-capped batches written as
+    // iq_tables_Batch_<n>.list (1-based, the reference's naming); tables
+    // individually over the cap spill to no_extraction.list and are NOT
+    // extracted. Invariant (verify_batches_generated_iq_file,
+    // migration.py:1817-1846): batch lines + spill lines == iq_tables lines.
+    val toExtract: Seq[Extract.WorkItem] =
+      if (batchCapBytes > 0) {
+        val (batches, spilled) = Extract.batch(workList.toSeq, batchCapBytes)
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Files.writeString(Paths.get(s"$out/iq_tables_Batch_${i + 1}.list"),
+            b.map(ctlLine).mkString("", "\n", "\n"))
+        }
+        if (spilled.nonEmpty)
+          Files.writeString(Paths.get(s"$out/no_extraction.list"),
+            spilled.map(ctlLine).mkString("", "\n", "\n"))
+        require(batches.map(_.size).sum + spilled.size == workList.length,
+          "batch partition lost tables (batches + no_extraction != iq_tables)")
+        batches.flatten
+      } else workList.toSeq
+    val done = toExtract.filter(_.rowCount > 0).map { w =>
       val df = Tables.load(spark, sfDir, w.name)
       val dir = s"$out/Extracted_Data/${w.tableId}"
       // resume (migration.py:1940-2002): a complete manifest means this
@@ -95,7 +120,7 @@ object Main {
         }
       s"graft.${w.name},${w.tableId},$rows"
     }
-    val empties = workList.filter(_.rowCount == 0)
+    val empties = toExtract.filter(_.rowCount == 0)
       .map(w => s"graft.${w.name},${w.tableId},0")
     Files.writeString(Paths.get(s"$out/ExtractedTables.out"),
       (done ++ empties).mkString("", "\n", "\n"))

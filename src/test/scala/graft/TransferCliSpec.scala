@@ -125,6 +125,43 @@ class TransferCliSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](graft.cli.Main.fullLoad(spark, sfDir, bare))
   }
 
+  test("batch mode writes per-batch lists and spills oversize tables to no_extraction.list") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft_batch").toString
+    val sizes = graft.core.Catalog.tableInventory(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val (bigName, bigSize) = sizes.maxBy(_._2)
+    graft.cli.Main.fullExtraction(spark, sfDir, out, batchCapBytes = bigSize - 1)
+    val listed = Files.readAllLines(Paths.get(s"$out/iq_tables.list")).asScala
+    val batchFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.matches("iq_tables_Batch_\\d+\\.list")).sortBy(_.getName)
+    assert(batchFiles.nonEmpty, "no batch lists written")
+    val batchLines = batchFiles.toSeq.flatMap(f => Files.readAllLines(f.toPath).asScala)
+    val spillLines = Files.readAllLines(Paths.get(s"$out/no_extraction.list")).asScala
+    // the reference's completeness invariant (migration.py:1817-1846):
+    // batch lines + no_extraction lines == iq_tables lines
+    assert(batchLines.size + spillLines.size == listed.size,
+      s"${batchLines.size} batched + ${spillLines.size} spilled != ${listed.size} listed")
+    // every batch respects the byte cap
+    batchFiles.foreach { f =>
+      val total = Files.readAllLines(f.toPath).asScala.map(_.split(',')(2).toLong).sum
+      assert(total <= bigSize - 1, s"${f.getName} over cap: $total")
+    }
+    // the oversize table spilled (its size exceeds the cap) and was NOT
+    // extracted: absent from ExtractedTables.out and from Extracted_Data
+    assert(spillLines.exists(_.startsWith(s"$bigName,")), s"$bigName not spilled")
+    spillLines.foreach(l => assert(l.split(',')(2).toLong > bigSize - 1))
+    val extracted = Files.readAllLines(Paths.get(s"$out/ExtractedTables.out")).asScala
+    assert(!extracted.exists(_.startsWith(s"$bigName,")), s"$bigName extracted despite spill")
+    val bigId = listed.find(_.startsWith(s"$bigName,")).get.split(',')(3)
+    assert(!Files.exists(Paths.get(s"$out/Extracted_Data/$bigId")))
+    // without --batchsize nothing batch-related is written (back-compat)
+    val plain = Files.createTempDirectory("graft_nobatch").toString
+    graft.cli.Main.fullExtraction(spark, sfDir, plain)
+    assert(!Files.exists(Paths.get(s"$plain/no_extraction.list")))
+    assert(!new java.io.File(plain).listFiles().exists(_.getName.startsWith("iq_tables_Batch_")))
+  }
+
   test("extraction resume skips tables with complete manifests") {
     val out = Files.createTempDirectory("graft_resume").toString
     graft.cli.Main.fullExtraction(spark, sfDir, out)
