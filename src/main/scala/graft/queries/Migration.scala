@@ -17,6 +17,24 @@ import graft.rewrite.{ReloadFixture, Rewriter}
   */
 object Migration {
 
+  /** DuckDB replay of one option audit (pre_migration.py:659-680):
+    * Permanent census → intersect with the noncustomer list → the
+    * reference's non-empty guard (empty intersection reports the full
+    * census). */
+  private def optionAuditOracle(list: Seq[String], comment: String): String = {
+    val f = graft.premigration.OptionsFixture
+    s"""WITH chk AS (SELECT * FROM ${f.checkOptionsLiteral}),
+       |l AS (SELECT * FROM ${f.listLiteral(list)}),
+       |perm AS (SELECT DISTINCT option_name FROM chk WHERE option_type = 'Permanent'),
+       |inter AS (SELECT option_name FROM perm INTERSECT SELECT option_name FROM l),
+       |res AS (SELECT option_name FROM inter
+       |        UNION ALL
+       |        SELECT option_name FROM perm
+       |        WHERE NOT EXISTS (SELECT 1 FROM inter))
+       |SELECT option_name, '$comment' AS comment FROM res
+       |ORDER BY option_name""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // C1: statement segmentation over the reload.sql fixture; oracle replays
@@ -33,10 +51,65 @@ object Migration {
       Rewriter.segment(lines).select("line_no", "stmt_id").orderBy("line_no")
     },
 
-    // C2-C4: full rewrite cascade — classification flags per line. The rule
-    // regexes aren't DuckDB-SQL-expressible; golden-file ScalaTest covers
-    // content, this query pins the row surface (rows-only check).
-    QueryDef.rowsOnly("c2_rewrite_flags") { (s, _) =>
+    // C2-C4: full rewrite cascade — classification flags per line. The
+    // oracle replays the whole cascade in DuckDB (RE2 regexes over the same
+    // statement/rule literals): segmentation, the ordered statement-rule
+    // CASE, line rules on kept statements, the ±4-line password blanket,
+    // and the partially-commented-procedure sweep. Golden-file ScalaTest
+    // still covers the rewritten TEXT; this gates the flag relation.
+    QueryDef(
+      "c2_rewrite_flags",
+      s"""WITH l AS (SELECT * FROM ${ReloadFixture.valuesLiteral}),
+         |seg AS (SELECT line_no, text,
+         |  CAST(coalesce(sum(CASE WHEN trim(lower(text)) = 'go' THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY line_no ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stmt_id
+         |  FROM l),
+         |st AS (SELECT stmt_id, string_agg(text, chr(10) ORDER BY line_no) AS stmt_text
+         |       FROM seg GROUP BY stmt_id),
+         |cls AS (SELECT stmt_id,
+         |  CASE WHEN regexp_matches(stmt_text, '(?is)\\bCREATE TEXT CONFIGURATION\\b')
+         |         OR regexp_matches(stmt_text, '(?is)\\bEXTERNAL NAME\\b')
+         |         OR regexp_matches(stmt_text, '(?is)\\bCREATE EXISTING TABLE\\b')
+         |         OR regexp_matches(stmt_text, '(?is)\\bALTER DBSPACE\\b')
+         |         OR (regexp_matches(stmt_text, '(?is)\\bCREATE INDEX\\b')
+         |             AND regexp_matches(stmt_text, '(?is)\\bHNG\\b'))
+         |         OR regexp_matches(stmt_text, '(?is)\\bdefault_logical_server\\b')
+         |       THEN 'comment'
+         |       WHEN regexp_matches(stmt_text, '(?is)\\bALTER TABLE\\b')
+         |            AND regexp_matches(stmt_text, '(?is)\\bFOREIGN KEY\\b')
+         |            AND regexp_matches(stmt_text, '(?is)\\bREFERENCES\\b')
+         |       THEN 'fk'
+         |       WHEN regexp_matches(stmt_text, '(?is)\\bCREATE DOMAIN\\b')
+         |            AND regexp_matches(stmt_text, '(?is)\\bAS USER\\b')
+         |       THEN 'strip'
+         |       ELSE 'keep' END AS action,
+         |  regexp_matches(stmt_text, '(?is)\\b(create|replace)\\s+procedure\\b') AS is_proc
+         |  FROM st),
+         |j AS (SELECT seg.line_no, seg.text, seg.stmt_id, cls.action, cls.is_proc
+         |      FROM seg JOIN cls USING (stmt_id)),
+         |f AS (SELECT *,
+         |  CASE WHEN contains(text, 'password values') THEN 1 ELSE 0 END AS pw_hit,
+         |  CASE WHEN action = 'keep' AND regexp_matches(text, '(?i)\\bcall\\b') AND (
+         |      regexp_matches(text, '(?i)\\bsa_reset_identity\\b')
+         |      OR regexp_matches(text, '(?i)\\bsa_make_object\\b')
+         |      OR regexp_matches(text, '(?i)\\bsa_sync\\b')
+         |      OR regexp_matches(text, '(?i)\\bsa_sync_sub\\b')
+         |      OR regexp_matches(text, '(?i)\\bsa_internal_load_cost_model\\b')
+         |      OR regexp_matches(text, '(?i)\\bsa_internal_system_task\\b')
+         |      OR regexp_matches(text, '(?i)\\bsa_refresh_text_indexes\\b')
+         |      OR regexp_matches(text, '(?i)\\bsa_refresh_materialized_views\\b'))
+         |    THEN 1 ELSE 0 END AS line_hit
+         |  FROM j),
+         |g AS (SELECT *,
+         |  (max(pw_hit) OVER (ORDER BY line_no ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) = 1
+         |   OR line_hit = 1) AS line_commented FROM f),
+         |h AS (SELECT *, is_proc AND action = 'keep' AND
+         |  max(CASE WHEN line_commented THEN 1 ELSE 0 END) OVER (PARTITION BY stmt_id) = 1 AS sweep
+         |  FROM g)
+         |SELECT CAST(line_no AS BIGINT) AS line_no, stmt_id,
+         |  (action = 'comment' OR line_commented OR sweep) AS commented,
+         |  (action = 'fk') AS is_fk
+         |FROM h ORDER BY line_no""".stripMargin) { (s, _) =>
       Rewriter.rewrite(s, ReloadFixture.lines).toDF()
         .select("line_no", "stmt_id", "commented", "is_fk")
         .orderBy("line_no")
@@ -345,6 +418,29 @@ object Migration {
            |ORDER BY feature, comment""".stripMargin
       }) { (s, _) =>
       graft.premigration.FeatureAudit.findings(s)
+    },
+
+    // Server-option audits at the reference lists' full cardinality
+    // (pre_migration.py:633-723): distinct Permanent options ∩ the 108-row
+    // SA list / 663-row IQ list, with the reference's empty-intersection
+    // fallthrough replayed in SQL.
+    QueryDef(
+      "pm3_dbopts_options",
+      optionAuditOracle(graft.premigration.OptionsFixture.dbOptsNoncustomer,
+        "HDL unsupport SQL Anywhere server options.")) { (s, _) =>
+      graft.premigration.OptionAudit.unsupportedOptions(
+        graft.premigration.OptionsFixture.checkOptionsDF(s),
+        graft.premigration.OptionsFixture.dbOptsNoncustomer,
+        "HDL unsupport SQL Anywhere server options.")
+    },
+    QueryDef(
+      "pm4_hosparams_options",
+      optionAuditOracle(graft.premigration.OptionsFixture.hosParamsNoncustomer,
+        "HDL unsupport IQ server options.")) { (s, _) =>
+      graft.premigration.OptionAudit.unsupportedOptions(
+        graft.premigration.OptionsFixture.checkOptionsDF(s),
+        graft.premigration.OptionsFixture.hosParamsNoncustomer,
+        "HDL unsupport IQ server options.")
     },
 
     // Premigration findings (§3.1): per-check scalar counts unioned.

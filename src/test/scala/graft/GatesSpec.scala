@@ -48,6 +48,28 @@ class GatesSpec extends SparkTestBase {
     assert(rows == Map("mpx_coordinator" -> true, "version" -> true, "readonly" -> true))
   }
 
+  test("option audit: full-cardinality intersections + empty-intersection fallthrough") {
+    import graft.premigration.{OptionAudit, OptionsFixture}
+    import org.apache.spark.sql.functions.col
+    val chk = OptionsFixture.checkOptionsDF(spark)
+    assert(OptionsFixture.dbOptsNoncustomer.size == 108)
+    assert(OptionsFixture.hosParamsNoncustomer.size == 663)
+    val sa = OptionAudit.unsupportedOptions(chk, OptionsFixture.dbOptsNoncustomer, "c").collect()
+    assert(sa.length == 27 && sa.forall(_.getString(0).startsWith("sa_opt_")))
+    val iq = OptionAudit.unsupportedOptions(chk, OptionsFixture.hosParamsNoncustomer, "c").collect()
+    assert(iq.length == 94 && iq.forall(_.getString(0).startsWith("iq_hos_")))
+    // duplicates deduped: sa_opt_004 appears twice Permanent, reported once
+    assert(sa.count(_.getString(0) == "sa_opt_004") == 1)
+    // non-Permanent rows never surface even when listed
+    assert(!sa.exists(_.getString(0) == "sa_opt_002"))
+    // reference fallthrough (pre_migration.py:669-673): empty intersection
+    // reports the ENTIRE distinct Permanent census
+    val census = chk.filter(col("option_type") === "Permanent")
+      .select("option_name").distinct().count()
+    val none = OptionAudit.unsupportedOptions(chk, Seq("no_such_option"), "c").collect()
+    assert(none.length == census)
+  }
+
   test("feature audit covers the reference's full check dispatch") {
     import graft.premigration.FeatureAudit
     val rows = FeatureAudit.findings(spark).collect()
