@@ -32,6 +32,20 @@ object RuleSource {
     (rules, replaces)
   }
 
+  /** Charset detection (Common/common.py:338-347): the source database's
+    * `db_property('Charset')` — trimmed, exactly as the reference's
+    * `trim(db_property('Charset'))` — names the charset all file I/O uses,
+    * with one remap: IQ reports packed Japanese as
+    * `Extended_UNIX_Code_Packed_Format_for_Japanese`, a name the decoder
+    * stack doesn't know, so it becomes `EUC-JP` (the reference's "Python
+    * doesn't support charset …" fallback). Absent property ⇒ UTF-8. */
+  def detectCharset(props: Map[String, String]): String =
+    props.get("Charset").map(_.trim).filter(_.nonEmpty) match {
+      case Some("Extended_UNIX_Code_Packed_Format_for_Japanese") => "EUC-JP"
+      case Some(cs) => cs
+      case None => "UTF-8"
+    }
+
   /** Load a rule file charset-aware (the reference's `codecs.open(f, "r",
     * common.charset)`, Common/common.py:338-347 — EUC-JP fallback etc.).
     *

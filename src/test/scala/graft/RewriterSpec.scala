@@ -147,6 +147,30 @@ class RewriterSpec extends SparkTestBase {
     assert(!wrong.contains(Rewriter.Replace("Straße", "STRASSE")))
   }
 
+  test("charset detection: property-driven, EUC-JP fallback, bytes→rules fidelity") {
+    import graft.rewrite.RuleSource
+    // the detection branches (common.py:338-347)
+    assert(RuleSource.detectCharset(Map("Charset" -> "ISO_8859-1:1987")) == "ISO_8859-1:1987")
+    assert(RuleSource.detectCharset(Map("Charset" -> " UTF-8 ")) == "UTF-8")
+    assert(RuleSource.detectCharset(
+      Map("Charset" -> "Extended_UNIX_Code_Packed_Format_for_Japanese")) == "EUC-JP")
+    assert(RuleSource.detectCharset(Map.empty) == "UTF-8")
+    // a packed-Japanese database's rule file decodes through the detected
+    // charset: 東京 / 大阪 are multi-byte in EUC-JP and NOT valid UTF-8
+    val cs = RuleSource.detectCharset(
+      Map("Charset" -> "Extended_UNIX_Code_Packed_Format_for_Japanese"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_eucjp")
+    val f = dir.resolve("rules_eucjp.list")
+    val content = "東京テーブル,COMMENT,HNG\n大阪,OSAKA\n"
+    java.nio.file.Files.write(f, content.getBytes(java.nio.charset.Charset.forName(cs)))
+    val (rules, replaces) = RuleSource.load(spark, f.toString, encoding = cs)
+    assert(rules.exists(r => r.pattern == "東京テーブル" && r.pat1.contains("HNG")))
+    assert(replaces.contains(Rewriter.Replace("大阪", "OSAKA")))
+    // same bytes as UTF-8 must not round-trip (the charset is load-bearing)
+    val (wrongRules, _) = RuleSource.load(spark, f.toString, encoding = "UTF-8")
+    assert(!wrongRules.exists(_.pattern == "東京テーブル"))
+  }
+
   test("segmentation invariants hold on randomized scripts (C1 property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
