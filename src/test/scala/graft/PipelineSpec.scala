@@ -105,6 +105,26 @@ class PipelineSpec extends SparkTestBase {
     assert(pruned.map(_._1).distinct.length == 5 && pruned.length == 15)
   }
 
+  test("d5 SRP banding: candidates are a superset of every exact pair at the gated threshold") {
+    // the d5/cur1 oracle gate rests on LSH recall; this pins it as an
+    // invariant at the gated tier instead of a data coincidence — every
+    // brute-force pair at cosine >= 0.4 must appear in the banded candidates
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs", Similarity.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")))
+      .filter(col("cs") >= 0.4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Similarity.srpBandedPairs(emb, "vec_id", "embedding",
+        bitsPerBand = 4, numBands = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no pairs at the gated threshold")
+    assert(exact.subsetOf(cand),
+      s"SRP banding missed ${(exact -- cand).size} exact pairs: ${(exact -- cand).take(5)}")
+  }
+
   test("as-of join: inclusive bound, per-key isolation, null when nothing precedes") {
     import spark.implicits._
     import graft.operators.AsOf
