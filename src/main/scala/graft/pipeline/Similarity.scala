@@ -21,14 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two float/double arrays, in double —
+    * the codegen'd [[graft.functions.DotProduct]] kernel (identical value
+    * and null semantics to the `aggregate(zip_with(…))` fold it replaced;
+    * see its doc for why the native expression matters at scale). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dotProduct(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Exact top-k neighbors by cosine for each query vector.
     * Output: (query_id, neighbor_id, cosine, rank). */

@@ -56,5 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[graft.functions.RollingHash].getName, "rolling_hash"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           graft.functions.RollingHash(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.DotProduct].getName, "dot_product"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.DotProduct(exprs.head, exprs(1))))
   }
 }

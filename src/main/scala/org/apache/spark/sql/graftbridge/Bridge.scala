@@ -11,4 +11,14 @@ object GraftBridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ catalyst Expression (private[sql] in 4.x behind the
+    * ColumnNode indirection) — needed to splice graft's native
+    * expressions (e.g. [[graft.functions.DotProduct]]) into Column
+    * pipelines. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
 }

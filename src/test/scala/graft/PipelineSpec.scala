@@ -105,6 +105,35 @@ class PipelineSpec extends SparkTestBase {
     assert(pruned.map(_._1).distinct.length == 5 && pruned.length == 15)
   }
 
+  test("native dot_product kernel: value + null parity with the declarative fold") {
+    import graft.functions.VectorOps
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)), // 32.0
+      (2L, Seq(0.5f, -1.0f), Seq(2.0f, 2.0f))) // -1.0
+      .toDF("id", "a", "b")
+    val fold = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(col("id"), VectorOps.dotProduct(col("a"), col("b")).as("native"),
+        fold.as("fold")).collect()
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.toString))
+    // length mismatch and null element both yield null, like the fold
+    val edge = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(VectorOps.dotProduct(col("a"), col("b")).as("d")).collect()
+    assert(edge.head.isNullAt(0))
+    val nullElem = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a, " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS b")
+      .select(VectorOps.dotProduct(col("a"), col("b")).as("d")).collect()
+    assert(nullElem.head.isNullAt(0))
+    // mixed float/double arrays (the SRP plane case)
+    val mixed = spark.sql(
+      "SELECT array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)) AS a, " +
+        "array(CAST(0.5 AS DOUBLE), CAST(2.0 AS DOUBLE)) AS b")
+      .select(VectorOps.dotProduct(col("a"), col("b")).as("d")).collect()
+    assert(mixed.head.getDouble(0) == 7.0)
+  }
+
   test("d5 SRP banding: candidates are a superset of every exact pair at the gated threshold") {
     // the d5/cur1 oracle gate rests on LSH recall; this pins it as an
     // invariant at the gated tier instead of a data coincidence — every
