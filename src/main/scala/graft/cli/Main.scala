@@ -90,6 +90,14 @@ object Main {
     // individually over the cap spill to no_extraction.list and are NOT
     // extracted. Invariant (verify_batches_generated_iq_file,
     // migration.py:1817-1846): batch lines + spill lines == iq_tables lines.
+    // stale batch artifacts from a previous run into the same out dir would
+    // break the batches+spill==iq_tables invariant below (a re-run with a
+    // different cap writes fewer files and leaves the old tail behind) —
+    // clear them unconditionally, batching on or off
+    Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("iq_tables_Batch_\\d+\\.list") ||
+        f.getName == "no_extraction.list")
+      .foreach(f => Files.delete(f.toPath))
     val toExtract: Seq[Extract.WorkItem] =
       if (batchCapBytes > 0) {
         val (batches, spilled) = Extract.batch(workList.toSeq, batchCapBytes)

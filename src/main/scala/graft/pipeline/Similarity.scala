@@ -69,7 +69,11 @@ object Similarity {
     * cells and the tiny centroid table. */
   def ivfBuild(corpus: DataFrame, vecCol: String, cellCol: String, path: String): Unit = {
     writeCellPartitioned(corpus, cellCol, path)
-    cellCentroids(corpus, vecCol, cellCol)
+    // centroids from the just-written layout, not the source: the source is
+    // scanned exactly once (the write); this read is column-pruned to
+    // (cell, vec) over the local columnar copy
+    val written = corpus.sparkSession.read.parquet(path)
+    cellCentroids(written, vecCol, cellCol)
       .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
   }
 

@@ -60,7 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.DotProduct].getName, "dot_product"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.DotProduct(exprs.head, exprs(1))))
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (exprs.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map("functionName" -> "dot_product",
+                "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+                "docroot" -> ""))
+          graft.functions.DotProduct(exprs.head, exprs(1))
+        }))
   }
 }

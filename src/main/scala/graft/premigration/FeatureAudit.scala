@@ -50,9 +50,6 @@ object FeatureAudit {
     val props = Seq((f.properties("version"), f.properties("Encryption"),
       f.properties("MaxConnections"))).toDF("version", "encryption", "max_connections")
 
-    def finding(feature: String, action: Boolean, comment: String): DataFrame =
-      Seq((feature, action, comment)).toDF("feature", "action_required", "comment")
-
     /** count-gated finding: emit iff the counting relation is non-empty. */
     def ifAny(rel: DataFrame)(feature: String, action: Boolean, comment: String): DataFrame =
       rel.agg(count(lit(1)).as("n")).filter(col("n") > 0)
@@ -66,10 +63,7 @@ object FeatureAudit {
         .select(lit("Multiple_DBSpaces").as("feature"), lit(false).as("action_required"),
           lit("To be merged into one dbspace.").as("comment")),
       // 2. rlv_verify (234-252): RLV tables OR an RLV dbspace
-      iqt.filter(col("is_rlv") === "T")
-        .crossJoin(dbsp.filter(col("dbspace_type") === "RLV"))
-        .limit(1).agg(count(lit(1)).as("n")).filter(col("n") >= 0)
-        .crossJoin(iqt.filter(col("is_rlv") === "T").agg(count(lit(1)).as("nt")))
+      iqt.filter(col("is_rlv") === "T").agg(count(lit(1)).as("nt"))
         .crossJoin(dbsp.filter(col("dbspace_type") === "RLV").agg(count(lit(1)).as("nd")))
         .filter(col("nt") =!= 0 || col("nd") =!= 0)
         .select(lit("RLV_Support").as("feature"), lit(true).as("action_required"),
@@ -138,7 +132,7 @@ object FeatureAudit {
       ifAny(dbsp.filter(col("dbspace_name") === "IQ_SHARED_TEMP"))(
         "IQ_SHARED_TEMP", action = false, "Not supported in the target engine."),
       // 19. webservice_verify (617-631)
-      ifAny(Seq.empty[String].toDF("ws_name").unionByName(f.webServices.toDF("ws_name")))(
+      ifAny(f.webServices.toDF("ws_name"))(
         "Web_Services", action = false,
         "Web services not supported in the target engine."),
       // 20. verify_readers_present (726-740)
@@ -162,7 +156,6 @@ object FeatureAudit {
         "Temp_Extract_Directory", action = false,
         "Reset required: must be an object store path in the target engine."))
 
-    val _ = finding _ // (kept for symmetry with per-row branches)
     checks.reduce(_.unionByName(_)).orderBy("feature", "comment")
   }
 }

@@ -25,7 +25,10 @@ object OptionAudit {
     val perm = checkOptions.filter(col("option_type") === "Permanent")
       .select("option_name").distinct()
     val list = noncustomer.toDF("option_name")
-    val inter = perm.join(list, Seq("option_name"), "left_semi")
+    // localCheckpoint: the emptiness probe AND the returned relation both
+    // consume the intersection — materialize it once (option censuses are
+    // catalog-sized) instead of running the distinct+semi-join twice
+    val inter = perm.join(list, Seq("option_name"), "left_semi").localCheckpoint()
     // reference fallthrough: empty intersection ⇒ the full Permanent census
     val res = if (inter.isEmpty) perm else inter
     res.select(col("option_name"), lit(comment).as("comment"))

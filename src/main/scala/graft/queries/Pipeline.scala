@@ -554,6 +554,21 @@ object Pipeline {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name").agg(count(lit(1)).as("n_events"))
         .orderBy("n_name")
+    },
+
+    // st3: exact distinct-user census per event type — the batch FORM of
+    // EventStream.distinctUsersPerWindow. NOT a general equivalence: the
+    // streaming side's dropDuplicatesWithinWatermark re-emits a user whose
+    // dedup state expired past the watermark (the price of bounded state on
+    // an unbounded feed); they agree when each user's events per type fall
+    // within the watermark, which StreamingSpec's fixture does.
+    QueryDef(
+      "st3_distinct_users",
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type").agg(countDistinct("user_id").as("distinct_users"))
+        .orderBy("event_type")
     }
   )
 }

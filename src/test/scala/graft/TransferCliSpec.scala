@@ -160,6 +160,12 @@ class TransferCliSpec extends SparkTestBase {
     graft.cli.Main.fullExtraction(spark, sfDir, plain)
     assert(!Files.exists(Paths.get(s"$plain/no_extraction.list")))
     assert(!new java.io.File(plain).listFiles().exists(_.getName.startsWith("iq_tables_Batch_")))
+    // re-running into the SAME dir (batching off) clears the stale batch
+    // artifacts — otherwise leftover Batch_N/no_extraction files violate
+    // the batches+spill==listed invariant on disk
+    graft.cli.Main.fullExtraction(spark, sfDir, out)
+    assert(!Files.exists(Paths.get(s"$out/no_extraction.list")))
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("iq_tables_Batch_")))
   }
 
   test("extraction resume skips tables with complete manifests") {
