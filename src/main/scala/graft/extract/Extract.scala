@@ -98,7 +98,8 @@ object Extract {
   def extractParquet(df: DataFrame, outDir: String, numFiles: Int = 8): Long = {
     val cnt = writeCounted(df, numFiles)(
       _.write.mode(SaveMode.Overwrite).parquet(outDir))
-    writeManifest(outDir, cnt, "parquet")
+    writeManifest(outDir, cnt, "parquet",
+      df.sparkSession.sparkContext.hadoopConfiguration)
     cnt
   }
 
@@ -112,24 +113,33 @@ object Extract {
         .option("compression", "gzip")
         .option("header", "true")
         .csv(outDir))
-    writeManifest(outDir, cnt, "gzip_csv")
+    writeManifest(outDir, cnt, "gzip_csv",
+      df.sparkSession.sparkContext.hadoopConfiguration)
     cnt
   }
 
   /** S11 + O5: per-extract manifest with a completeness sentinel — replaces
     * the reference's `extractinfo` token scraping (migration.py:1445-1458)
-    * and its last-line sentinel check (migration.py:1301-1310). */
-  def writeManifest(outDir: String, rows: Long, format: String): Unit = {
-    val files = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .map(f => s"""{"name":"${f.getName}","bytes":${f.length}}""")
+    * and its last-line sentinel check (migration.py:1301-1310). Listing and
+    * write go through the path's Hadoop FileSystem so the manifest lands
+    * beside extracts on hdfs:///object-store dirs, not just file://. */
+  def writeManifest(outDir: String, rows: Long, format: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirPath.getFileSystem(conf)
+    val files = fs.listStatus(dirPath)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+      .map(s => s"""{"name":"${s.getPath.getName}","bytes":${s.getLen}}""")
     val json =
       s"""{"rows":$rows,"format":"$format","files":[${files.mkString(",")}],"complete":true}"""
     // sibling file, not inside the dir: underscore-prefixed files are
     // invisible to Spark readers, and a non-underscore file inside the
     // directory would pollute the data scan
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir + ".manifest.json"), json)
+    val out = fs.create(new org.apache.hadoop.fs.Path(outDir + ".manifest.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read a manifest back; `complete` is the resume-safety sentinel. */

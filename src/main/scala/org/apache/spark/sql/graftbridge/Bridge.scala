@@ -22,3 +22,14 @@ object GraftBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     classic.ExpressionUtils.column(e)
 }
+
+/** Serializable Hadoop Configuration carrier (Configuration itself is not
+  * Serializable; Spark's own wrapper is private[spark]) — lets executor-side
+  * code (e.g. graft's per-row LOB sink) resolve the DRIVER's FileSystem
+  * configuration instead of a default-constructed one that would lose
+  * fs.defaultFS / credentials on hdfs:// or object-store paths. */
+class SerializableHadoopConf(@transient conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private val inner = new org.apache.spark.util.SerializableConfiguration(conf)
+  def value: org.apache.hadoop.conf.Configuration = inner.value
+}
