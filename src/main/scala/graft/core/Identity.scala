@@ -19,7 +19,7 @@ object Identity {
     * partition order (sort first for full determinism). */
   def assign(df: DataFrame, colName: String, startAt: Long = 1L): DataFrame = {
     val schema = df.schema.add(colName, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex.map { case (row, idx) =>
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + startAt))
     }
     df.sparkSession.createDataFrame(rdd, schema)

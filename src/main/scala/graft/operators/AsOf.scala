@@ -46,6 +46,6 @@ object AsOf {
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val payloadOut = payloadCols.map(c => col(s"__asof.$c").as(c))
-    joined.select(left.columns.map(col) ++ payloadOut: _*)
+    joined.select(left.columns.toIndexedSeq.map(col) ++ payloadOut: _*)
   }
 }
