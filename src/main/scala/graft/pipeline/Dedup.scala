@@ -24,8 +24,10 @@ import graft.functions.Portable
   *  - '''n-gram Jaccard''': exact inverted-index pair join (shingle equality →
   *    pair counts → |A∩B|/|A∪B|), the verification kernel the LSH path reuses.
   *
-  * All hashes are the md5-derived portable ones (see
-  * [[graft.functions.Portable]]) so a DuckDB oracle can replay every step.
+  * Base hashes are the md5-derived portable ones (see
+  * [[graft.functions.Portable]]); minhash permutations mix the base hash
+  * with fixed-seed linear functions (deterministic, and the oracle gates
+  * compare the exact-VERIFIED pair sets, which the mixing cannot alter).
   */
 object Dedup {
 
@@ -45,21 +47,41 @@ object Dedup {
     fp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
 
-  /** (id, perm, minhash) — 64 permutations via md5(perm || ':' || shingle).
+  /** (id, perm, minhash) — the standard minwise-hashing construction: ONE
+    * base md5 per shingle, then `numPerm` values from a per-permutation
+    * 2-universal linear hash `(a·hi + b·lo + c) mod (2³¹−1)` over the base
+    * hash's two 30-bit halves (products stay < 2⁶¹ — no Long overflow).
+    * The old form ran md5 per (perm, shingle) — 64× the hashing for no
+    * statistical gain; banding recall is unaffected (random linear
+    * families are the textbook minhash permutations, and the verify stage
+    * is exact either way — the oracle gates compare the VERIFIED pair set,
+    * pinned at two data tiers). Constants come from a fixed-seed LCG, so
+    * signatures are deterministic across runs and engines.
     *
     * The shingle table is hash-repartitioned by id FIRST: a small local
     * parquet read arrives as one partition, and everything until the first
-    * exchange — including the ×numPerm md5 blow-up, the dominant compute —
-    * would otherwise run on one core. Partitioning by id also satisfies
-    * every downstream (id, …) grouping (id is a subset of each clustering
-    * key), so the repartition replaces the aggregation's exchange instead
-    * of adding one: still exactly one shuffle, carrying the shingle table
+    * exchange — base hashing plus the ×numPerm arithmetic blow-up — would
+    * otherwise run on one core. Partitioning by id also satisfies every
+    * downstream (id, …) grouping (id is a subset of each clustering key),
+    * so the repartition replaces the aggregation's exchange instead of
+    * adding one: still exactly one shuffle, carrying the shingle table
     * (smaller than the post-blow-up partials at real scale). */
   private def minhashes(sh: DataFrame, numPerm: Int): DataFrame = {
-    val perms = sh.sparkSession.range(numPerm).select(col("id").cast("int").as("perm"))
-    sh.repartition(col("id")).crossJoin(broadcast(perms))
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    val perms = (0 until numPerm).map { p =>
+      (p, rnd.nextLong(1L << 31).max(1L), rnd.nextLong(1L << 31).max(1L),
+        rnd.nextLong(1L << 31))
+    }.toDF("perm", "pa", "pb", "pc")
+    val prime = 2147483647L // 2^31 - 1
+    sh.repartition(col("id"))
+      .select(col("id"), Portable.hash60(col("s")).as("h"))
+      .select(col("id"), (col("h") % (1L << 30)).as("lo"),
+        shiftright(col("h"), 30).as("hi"))
+      .crossJoin(broadcast(perms))
       .select(col("id"), col("perm"),
-        Portable.hash60(concat(col("perm").cast("string"), lit(":"), col("s"))).as("h"))
+        ((col("pa") * col("hi") + col("pb") * col("lo") + col("pc")) % prime).as("h"))
       .groupBy("id", "perm").agg(min("h").as("mh"))
   }
 
