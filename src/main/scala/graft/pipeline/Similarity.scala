@@ -163,9 +163,16 @@ object Similarity {
     * broadcast-nested-loop. Recall for a pair at angle θ is
     * 1-(1-(1-θ/π)^r)^b; at r=4, b=64 a cosine-0.4 pair (θ/π≈0.37) is missed
     * with p≈1.6e-5, and anything more similar essentially never — verified
-    * exhaustively against the exact pair set on the test tiers. At scale,
-    * raise r (near-dup corpora sit at cosine ≥0.8 where r=8-16 prunes hard);
-    * candidates are then exact-rechecked by the caller. */
+    * exhaustively against the exact pair set on the test tiers.
+    *
+    * Honest cost model (measured): exact recall at a LOOSE threshold like
+    * 0.4 forces the near-all-pairs regime — an uncorrelated pair still
+    * collides in ≥1 of 64 four-bit bands with p≈0.98, so candidate volume
+    * approaches n²/2 and the equi-join's work is the true cost of the
+    * guarantee, not overhead. The pruning regime is TIGHT thresholds:
+    * near-dup corpora at cosine ≥0.8 with r=8-16 collide rarely for
+    * non-dups and the same plan prunes hard. Callers pick r/b per
+    * threshold; candidates are exact-rechecked either way. */
   def srpBandedPairs(corpus: DataFrame, idCol: String, vecCol: String,
       bitsPerBand: Int = 4, numBands: Int = 64): DataFrame = {
     import graft.functions.Portable
