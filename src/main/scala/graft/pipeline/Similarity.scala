@@ -60,6 +60,53 @@ object Similarity {
       .groupBy(cellCol).agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
       .select(col(cellCol), transform(col("pc"), s => s.getField("cx")).as("centroid"))
 
+  /** Lloyd's k-means over the embedding column — the IVF cell-TRAINING job
+    * (classic distributed k-means: per-iteration broadcast of the k
+    * centroids, distributed nearest-centroid assignment, per-cell mean
+    * re-aggregation; only k×dim doubles ever reach the driver, so the
+    * corpus-sized work is all executor-side). Deterministic: seeds are the
+    * k vectors with the smallest portable id-hash, argmin ties break on the
+    * lower cell id, and empty cells keep their previous centroid. Returns
+    * (id, cell) assignments for [[ivfBuild]]. */
+  def kmeansCells(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.functions.Portable
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(col("id"))
+    // deterministic seeding: k vectors with the smallest id-hash
+    var cents: Seq[(Int, Seq[Double])] = v
+      .withColumn("h", Portable.hash32(col("id").cast("string")))
+      .orderBy("h", "id").limit(k)
+      .select(transform(col("v"), x => x.cast("double")).as("c"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    def assign(centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+      val centDF = broadcast(centroids
+        .map { case (c, vec) => (c, vec, vec.map(x => x * x).sum) }
+        .toDF("cell", "cvec", "cnorm2"))
+      // argmin over cells of |v - c|² — |v|² is constant per row, so rank
+      // by (-2·v·c + |c|², cell); struct-min gives the deterministic argmin
+      v.crossJoin(centDF)
+        .withColumn("score", lit(-2.0) * dot(col("v"), col("cvec")) + col("cnorm2"))
+        .groupBy("id").agg(min(struct(col("score"), col("cell"))).as("m"))
+        .select(col("id"), col("m.cell").as("cell"))
+    }
+    for (_ <- 1 to iters) {
+      val assigned = assign(cents)
+      val next = assigned.join(v, Seq("id"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("cx"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+        .select(col("cell"), transform(col("pc"), s => s.getField("cx")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+      // empty cells keep their previous centroid
+      cents = cents.map { case (c, old) => (c, next.getOrElse(c, old)) }
+    }
+    assign(cents)
+  }
+
   /** Build the IVF index ONCE — this is the training job, not a query step.
     * Writes the corpus cell-partitioned (each cell a `cell=<v>/` directory,
     * so probed reads partition-prune at the source) and persists the
@@ -75,6 +122,16 @@ object Similarity {
     val written = corpus.sparkSession.read.parquet(path)
     cellCentroids(written, vecCol, cellCol)
       .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+  }
+
+  /** Train k cells with [[kmeansCells]] and build the index from them —
+    * the full IVF lifecycle (train → partition → persist) in one batch
+    * job; query via [[ivfTopK]] with cellCol = "cell". */
+  def ivfBuildTrained(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, path: String): Unit = {
+    val cells = kmeansCells(corpus, idCol, vecCol, k, iters)
+    ivfBuild(corpus.join(cells, corpus(idCol) === cells("id")).drop("id"),
+      vecCol, "cell", path)
   }
 
   /** Query the persisted IVF index: rank the (broadcast) persisted centroids

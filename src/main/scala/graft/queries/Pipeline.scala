@@ -203,6 +203,22 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // The full IVF lifecycle: k-means cell TRAINING (distributed Lloyd's,
+    // deterministic seeding) → cell-partitioned persist → probed query.
+    // With nprobe == k the result is exactly brute force whatever the
+    // clustering quality, so the same KNN oracle gates the trained path.
+    QueryDef(
+      "sim4_ivf_trained",
+      knnOracle("q.vec_id >= 20 AND q.vec_id < 30", k = 5)) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_t").toString + "/ivf"
+      Similarity.ivfBuildTrained(e, "vec_id", "embedding", k = 8, iters = 3, idx)
+      Similarity.ivfTopK(s, idx, e.filter(col("vec_id") >= 20 && col("vec_id") < 30),
+          "vec_id", "embedding", "cell", k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Sign-random-projection bucket histogram — the cosine-LSH scale path.
     QueryDef(
       "sim3_srp_buckets",

@@ -134,6 +134,17 @@ class PipelineSpec extends SparkTestBase {
     assert(mixed.head.getDouble(0) == 7.0)
   }
 
+  test("kmeans cell training: deterministic, total, multi-cell assignments") {
+    val run = () => Similarity.kmeansCells(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a1 = run()
+    assert(a1 == run(), "k-means assignment is not deterministic across runs")
+    assert(a1.size == emb.count(), "assignment must cover every vector exactly once")
+    val used = a1.values.toSet
+    assert(used.subsetOf((0 until 4).toSet) && used.size > 1,
+      s"expected >1 of 4 cells used, got $used")
+  }
+
   test("d5 SRP banding: candidates are a superset of every exact pair at the gated threshold") {
     // the d5/cur1 oracle gate rests on LSH recall; this pins it as an
     // invariant at the gated tier instead of a data coincidence — every
