@@ -116,16 +116,22 @@ object Main {
       val df = Tables.load(spark, sfDir, w.name)
       val dir = s"$out/Extracted_Data/${w.tableId}"
       // resume (migration.py:1940-2002): a complete manifest means this
-      // table's extract already finished — skip it, idempotently
-      val manifest = Paths.get(dir + ".manifest.json")
-      val rows =
-        if (Files.exists(manifest) &&
-          Files.readString(manifest).contains("\"complete\":true")) w.rowCount
-        else Extract.formatFor(df.schema) match {
-          // format planner: CSV-incompatible columns (arrays/binary) → parquet
-          case Extract.Binary => Extract.extractParquet(df, dir)
-          case _ => Extract.extractGzipCsv(df, dir)
-        }
+      // table's extract already finished — skip it, idempotently. The rows
+      // carried into ExtractedTables.out come from the MANIFEST (what was
+      // actually written), never from the current inventory count: a resumed
+      // run re-recording the source count would let the load verify compare
+      // source-to-source and mask an extract-phase loss.
+      val recorded: Option[Long] =
+        if (Files.exists(Paths.get(dir + ".manifest.json"))) {
+          val m = Extract.readManifest(spark, dir)
+            .select(col("complete"), col("rows")).head()
+          if (m.getBoolean(0)) Some(m.getLong(1)) else None
+        } else None
+      val rows = recorded.getOrElse(Extract.formatFor(df.schema) match {
+        // format planner: CSV-incompatible columns (arrays/binary) → parquet
+        case Extract.Binary => Extract.extractParquet(df, dir)
+        case _ => Extract.extractGzipCsv(df, dir)
+      })
       s"graft.${w.name},${w.tableId},$rows"
     }
     val empties = toExtract.filter(_.rowCount == 0)

@@ -73,8 +73,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     import graft.functions.Portable
+    // localCheckpoint: the training loop triggers ~2·iters+2 jobs over the
+    // corpus (assignments + means each iteration) — materialize the
+    // repartitioned working set once instead of re-reading and re-shuffling
+    // the source every job
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(col("id"))
+      .repartition(col("id")).localCheckpoint()
     // deterministic seeding: k vectors with the smallest id-hash
     var cents: Seq[(Int, Seq[Double])] = v
       .withColumn("h", Portable.hash32(col("id").cast("string")))
@@ -130,7 +134,9 @@ object Similarity {
   def ivfBuildTrained(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, path: String): Unit = {
     val cells = kmeansCells(corpus, idCol, vecCol, k, iters)
-    ivfBuild(corpus.join(cells, corpus(idCol) === cells("id")).drop("id"),
+    // drop by COLUMN REFERENCE: drop("id") would remove every column named
+    // "id", including the corpus's own when idCol == "id"
+    ivfBuild(corpus.join(cells, corpus(idCol) === cells("id")).drop(cells("id")),
       vecCol, "cell", path)
   }
 
