@@ -44,7 +44,7 @@ object Main {
       case "--premigration" => premigration(spark, sfDir, out)
       case "--fullextraction" =>
         fullExtraction(spark, sfDir, out, cfg.batchSizeGb.toLong << 30)
-      case "--fullload" => fullLoad(spark, sfDir, out)
+      case "--fullload" => fullLoad(spark, out)
     } finally spark.stop()
   }
 
@@ -140,8 +140,7 @@ object Main {
       (done ++ empties).mkString("", "\n", "\n"))
   }
 
-  def fullLoad(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, out: String): Unit = {
+  def fullLoad(spark: org.apache.spark.sql.SparkSession, out: String): Unit = {
     // resume reconciliation (load_schema_and_data.py:776-874): previously
     // ok-loaded tables are skipped, previously FAILED tables retry FIRST
     val loadedPath = Paths.get(s"$out/HDL_LoadedTables.out")
@@ -151,21 +150,33 @@ object Main {
           .filter(_.endsWith(",Y")).map(_.split(',')(0).stripPrefix("graft.")).toSet
       else Set.empty
     // expected counts come from the extract phase's control file, NOT a
-    // source recount (load_schema_and_data.py:709-735): one scan per table
-    // instead of two, and verification is against the extract record so an
-    // extract-phase loss fails the load verify.
+    // source recount (load_schema_and_data.py:709-735), and the DATA comes
+    // from the extract artifacts themselves: the load phase never touches
+    // the source tables, exactly like the reference's `LOAD TABLE … FROM
+    // Extracted_Data/<tid>/<file>` (migration.py:1538-1556,
+    // load_table.sh:36-87). Verifying extract-written bytes against the
+    // extract-recorded count means a truncated extract FILE fails here.
     val ctl = Paths.get(s"$out/ExtractedTables.out")
     require(Files.exists(ctl),
       "--fullload requires ExtractedTables.out from a prior --fullextraction")
-    val work = Loader.extractedCounts(ctl).map { case (n, cnt) =>
-      Loader.LoadWork(n, () => Tables.load(spark, sfDir, n), () => cnt)
+    val counts = Loader.extractedCounts(ctl)
+    // empty tables were short-circuited by the extract (migration.py:
+    // 1921-1931) — no files exist, so there is nothing to load; record Y
+    val (loadable, empties) = counts.partition { case (_, tid, rows) =>
+      rows > 0 || Files.exists(Paths.get(s"$out/Extracted_Data/$tid.manifest.json"))
+    }
+    val work = loadable.map { case (n, tid, cnt) =>
+      Loader.LoadWork(n,
+        () => Extract.readExtractedAuto(spark, s"$out/Extracted_Data/$tid"),
+        () => cnt)
     }
     val results = Loader.loadAll(work, s"$out/warehouse",
       Paths.get(s"$out/HDL_FailedTables.out"), loadedOk)
-    val keptOk = loadedOk.filterNot(results.map(_.tableName).toSet)
-      .map(n => s"graft.$n,-,Y")
+    val doneNames = results.map(_.tableName).toSet ++ empties.map(_._1)
+    val keptOk = loadedOk.filterNot(doneNames).map(n => s"graft.$n,-,Y")
     Files.writeString(loadedPath,
       (results.map(r => s"graft.${r.tableName},${r.loaded},${if (r.ok) "Y" else "N"}")
+        ++ empties.filterNot(e => loadedOk.contains(e._1)).map(e => s"graft.${e._1},0,Y")
         ++ keptOk).mkString("", "\n", "\n"))
     require(results.forall(_.ok), "load verification failed for some tables")
   }

@@ -99,7 +99,7 @@ object Extract {
     val cnt = writeCounted(df, numFiles)(
       _.write.mode(SaveMode.Overwrite).parquet(outDir))
     writeManifest(outDir, cnt, "parquet",
-      df.sparkSession.sparkContext.hadoopConfiguration)
+      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL)
     cnt
   }
 
@@ -112,9 +112,10 @@ object Extract {
       _.write.mode(SaveMode.Overwrite)
         .option("compression", "gzip")
         .option("header", "true")
+        .option("timestampFormat", CsvTimestampFormat)
         .csv(outDir))
     writeManifest(outDir, cnt, "gzip_csv",
-      df.sparkSession.sparkContext.hadoopConfiguration)
+      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL)
     cnt
   }
 
@@ -125,7 +126,8 @@ object Extract {
     * beside extracts on hdfs:///object-store dirs, not just file://. */
   def writeManifest(outDir: String, rows: Long, format: String,
       conf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): Unit = {
+        new org.apache.hadoop.conf.Configuration(),
+      schemaDdl: String = ""): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = dirPath.getFileSystem(conf)
     val files = fs.listStatus(dirPath)
@@ -133,7 +135,7 @@ object Extract {
       .sortBy(_.getPath.getName)
       .map(s => s"""{"name":"${s.getPath.getName}","bytes":${s.getLen}}""")
     val json =
-      s"""{"rows":$rows,"format":"$format","files":[${files.mkString(",")}],"complete":true}"""
+      s"""{"rows":$rows,"format":"$format","schema":"${jsonEscape(schemaDdl)}","files":[${files.mkString(",")}],"complete":true}"""
     // sibling file, not inside the dir: underscore-prefixed files are
     // invisible to Spark readers, and a non-underscore file inside the
     // directory would pollute the data scan
@@ -142,14 +144,45 @@ object Extract {
     finally out.close()
   }
 
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Read a manifest back; `complete` is the resume-safety sentinel. */
   def readManifest(spark: SparkSession, outDir: String): DataFrame =
     spark.read.json(outDir + ".manifest.json")
 
+  /** Reconstruct an extracted table purely from its on-disk artifacts: the
+    * manifest declares the format and the schema DDL, so the LOAD phase
+    * needs neither the source tables nor the catalog — the reference loads
+    * `FROM Extracted_Data/<tid>/<file>` the same way
+    * (`/root/reference/Migration/migration.py:1538-1556`, `load_table.sh:
+    * 36-87`). A truncated or corrupted extract therefore reaches the load
+    * verify as-is and fails it, instead of being papered over by a re-read
+    * of the intact source. */
+  def readExtractedAuto(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(spark, dir).select("format", "schema").head()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.getString(1))
+    m.getString(0) match {
+      case "parquet" => spark.read.schema(schema).parquet(dir)
+      case "gzip_csv" => readExtracted(spark, dir, schema)
+      case other => throw new IllegalArgumentException(s"unknown extract format: $other")
+    }
+  }
+
+  /** Micro-precision timestamp format for the CSV interchange: the writer's
+    * default keeps only milliseconds, which silently truncates micro-stamped
+    * event data — an extract->load round-trip must be bit-faithful. */
+  val CsvTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** Read an extracted directory back with an explicit schema (no inference
     * in the engine proper — SURVEY §1.3). */
   def readExtracted(spark: SparkSession, dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(dir)
+    spark.read.schema(schema).option("header", "true")
+      .option("timestampFormat", CsvTimestampFormat).csv(dir)
 
   /** Resume reconciliation (migration.py:1977,2675): work items not yet in
     * the extracted checkpoint — a left-anti join, never a driver loop. */

@@ -32,10 +32,13 @@ object Loader {
       fsOverride: Option[org.apache.hadoop.fs.FileSystem] = None): LoadResult = {
     val staging = finalDir + ".staging"
     val spark = df.sparkSession
-    val fs = fsOverride.getOrElse(org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration))
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val finalPath = new org.apache.hadoop.fs.Path(finalDir)
+    // resolve the filesystem FROM the target path, not the default scheme:
+    // a scheme-qualified finalDir (hdfs://, s3a://) must rename/delete
+    // against its own filesystem, the same way Extract/LobSink resolve theirs
+    val fs = fsOverride.getOrElse(
+      finalPath.getFileSystem(spark.sparkContext.hadoopConfiguration))
     val oldPath = new org.apache.hadoop.fs.Path(finalDir + ".old")
     val name = finalDir.split('/').last
     // crash recovery: a previous promote that died between its two renames
@@ -85,12 +88,13 @@ object Loader {
     * load_schema_and_data.py:709-735). Loads verify against the EXTRACT
     * record, not a fresh source count: that detects an extract-phase loss
     * (a doctored/incomplete extract fails the verify) and removes one full
-    * source scan per table. Returns (table, expectedRows) in file order. */
-  def extractedCounts(path: java.nio.file.Path): Seq[(String, Long)] =
+    * source scan per table. Returns (table, tableId, expectedRows) in file
+    * order; the tableId locates the table's `Extracted_Data/<tid>` artifacts. */
+  def extractedCounts(path: java.nio.file.Path): Seq[(String, Int, Long)] =
     java.nio.file.Files.readAllLines(path).toArray(Array.empty[String])
       .toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
         val f = line.split(',')
-        (f(0).split('.').last, f(2).toLong)
+        (f(0).split('.').last, f(1).toInt, f(2).toLong)
       }
 
   /** Failed-first load ordering (load_schema_and_data.py:854-874): the

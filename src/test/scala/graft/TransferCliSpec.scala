@@ -64,20 +64,33 @@ class TransferCliSpec extends SparkTestBase {
     val extracted = Files.readAllLines(Paths.get(s"$out/ExtractedTables.out"))
     assert(listed.size == graft.core.Tables.names.size)
     assert(extracted.size == listed.size) // extraction invariant: ⊇ listed
-    graft.cli.Main.fullLoad(spark, sfDir, out)
+    graft.cli.Main.fullLoad(spark, out)
     val loaded = Files.readAllLines(Paths.get(s"$out/HDL_LoadedTables.out"))
     assert(loaded.size == listed.size)
     assert(loaded.stream().allMatch(_.endsWith(",Y")))
+    // byte fidelity through the extract formats: the warehouse copy was
+    // built from Extracted_Data (CSV for scalar tables, parquet for
+    // array-bearing ones), so values — timestamps, doubles, quoted JSON
+    // strings, float arrays — must round-trip exactly
+    for (t <- Seq("orders", "events", "embeddings")) {
+      val src = graft.core.Tables.load(spark, sfDir, t)
+      val wh = spark.read.parquet(s"$out/warehouse/$t")
+      assert(wh.schema.map(f => (f.name, f.dataType)) ==
+        src.schema.map(f => (f.name, f.dataType)), s"$t schema drifted")
+      assert(wh.exceptAll(src).count() == 0 && src.exceptAll(wh).count() == 0,
+        s"$t warehouse content != source after extract->load round-trip")
+    }
   }
 
-  test("load verifies against ExtractedTables.out: one source scan per table, doctored count fails") {
+  test("load reads ONLY Extracted_Data: zero source scans, doctored count fails") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val out = Files.createTempDirectory("graft_ctl").toString
     graft.cli.Main.fullExtraction(spark, sfDir, out)
-    // count executions whose analyzed plan scans each SOURCE parquet: the
-    // control-file-driven load must read each source exactly once (the old
-    // recount lambda made it twice)
+    // census of executions by scanned root path: the extract->load contract
+    // means the LOAD phase reads extract artifacts exclusively — the source
+    // tables must appear in NO load-phase plan (the old wiring re-read the
+    // source, which would mask a corrupted extract file)
     val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     val listener = new QueryExecutionListener {
       def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
@@ -94,17 +107,20 @@ class TransferCliSpec extends SparkTestBase {
     }
     spark.listenerManager.register(listener)
     try {
-      graft.cli.Main.fullLoad(spark, sfDir, out)
-      // listener delivery is async — poll until the scan census stabilizes
-      def sourceScans(t: String): Int = {
+      graft.cli.Main.fullLoad(spark, out)
+      def scansOf(frag: String): Int = {
         import scala.jdk.CollectionConverters._
-        plans.asScala.toSeq.count(_.contains(s"$sfDir/$t.parquet"))
+        plans.asScala.toSeq.count(_.contains(frag))
       }
+      // listener delivery is async — wait until the artifact reads (which
+      // MUST appear: staging writes + verify counts ride them) settle
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      def settled(): Boolean = graft.core.Tables.names.forall(sourceScans(_) >= 1)
+      def settled(): Boolean = scansOf(s"$out/Extracted_Data/") >= graft.core.Tables.names.size
       while (!settled() && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(settled(), "extract-artifact reads never showed up in the scan census")
       graft.core.Tables.names.foreach { t =>
-        assert(sourceScans(t) == 1, s"$t scanned ${sourceScans(t)}× (want exactly 1)")
+        assert(scansOf(s"$sfDir/$t.parquet") == 0,
+          s"load phase scanned SOURCE table $t — data plane not extract-driven")
       }
     } finally spark.listenerManager.unregister(listener)
     // doctor the extract record: the load must FAIL verification against it
@@ -116,13 +132,36 @@ class TransferCliSpec extends SparkTestBase {
     }
     Files.writeString(ctl, doctored.mkString("", "\n", "\n"))
     Files.delete(Paths.get(s"$out/HDL_LoadedTables.out")) // force full reload
-    val err = intercept[IllegalArgumentException](graft.cli.Main.fullLoad(spark, sfDir, out))
+    val err = intercept[IllegalArgumentException](graft.cli.Main.fullLoad(spark, out))
     assert(err.getMessage.contains("load verification failed"))
     val loaded = Files.readAllLines(Paths.get(s"$out/HDL_LoadedTables.out"))
     assert(loaded.stream().anyMatch(l => l.startsWith("graft.nation,") && l.endsWith(",N")))
     // load without a prior extraction is refused outright
     val bare = Files.createTempDirectory("graft_noctl").toString
-    assertThrows[IllegalArgumentException](graft.cli.Main.fullLoad(spark, sfDir, bare))
+    assertThrows[IllegalArgumentException](graft.cli.Main.fullLoad(spark, bare))
+  }
+
+  test("a corrupted extract FILE with an intact manifest count fails the load") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft_corrupt").toString
+    graft.cli.Main.fullExtraction(spark, sfDir, out)
+    // the source tables are now IRRELEVANT to the load — prove it by
+    // corrupting extract bytes while every control count stays intact:
+    // delete one data file from nation's extract dir (manifest untouched)
+    val nationId = Files.readAllLines(Paths.get(s"$out/iq_tables.list")).asScala
+      .find(_.startsWith("graft.nation,")).get.split(',')(3)
+    val dir = Paths.get(s"$out/Extracted_Data/$nationId")
+    val part = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .maxBy(p => Files.size(p)) // drop the biggest shard: guaranteed rows lost
+    Files.delete(part)
+    val err = intercept[IllegalArgumentException](graft.cli.Main.fullLoad(spark, out))
+    assert(err.getMessage.contains("load verification failed"))
+    val loaded = Files.readAllLines(Paths.get(s"$out/HDL_LoadedTables.out")).asScala
+    assert(loaded.exists(l => l.startsWith("graft.nation,") && l.endsWith(",N")),
+      s"nation should have failed verify after losing an extract shard: $loaded")
+    // and no half-loaded nation was promoted to the warehouse
+    assert(!Files.exists(Paths.get(s"$out/warehouse/nation")))
   }
 
   test("batch mode writes per-batch lists and spills oversize tables to no_extraction.list") {
