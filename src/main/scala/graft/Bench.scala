@@ -31,20 +31,29 @@ object Bench {
     }
     // a failed query reports null and is EXCLUDED from the total instead of
     // skewing it with a partial/negative wall time
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results: Seq[(String, Option[Double])] = queries.Headline.benchNames.map { name =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val results: Seq[(String, Seq[Double])] = queries.Headline.benchNames.map { name =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fns(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
-      name -> (if (times.nonEmpty) Some(times.min) else None)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
-      .mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    // headline stays min-of-reps; rep_times persists EVERY rep so a
+    // round-over-round swing is attributable (did the reps agree, or did
+    // one environmental outlier poison the min?) — the r04→r05 q3/q5 jump
+    // was undiagnosable precisely because only the min survived
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.nonEmpty) ts.min.toString else "null")
+    }.mkString("{", ",", "}")
+    val repTimes = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.filter(_._2.nonEmpty).map(_._2.min).sum
+    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repTimes,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,6 +140,30 @@ object Similarity {
       vecCol, "cell", path)
   }
 
+  /** Build-once cache around [[ivfBuild]]: skip the build when a complete
+    * index already sits at `path`. The `_centroids/_SUCCESS` marker is the
+    * completeness sentinel — it is the LAST file the build writes, so a
+    * crashed half-build never satisfies the check. This is what makes the
+    * documented "build once, query many" lifecycle real for repeated
+    * invocations (Verify, Bench warm-up + reps): without it every call paid
+    * a full index build and the bench timed build+query instead of the
+    * probed-read query path. */
+  def ivfBuildCached(corpus: => DataFrame, vecCol: String, cellCol: String,
+      path: String): String = {
+    if (!new java.io.File(path + "/_centroids/_SUCCESS").exists())
+      ivfBuild(corpus, vecCol, cellCol, path)
+    path
+  }
+
+  /** Build-once cache around [[ivfBuildTrained]] (same sentinel as
+    * [[ivfBuildCached]]). */
+  def ivfBuildTrainedCached(corpus: => DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, path: String): String = {
+    if (!new java.io.File(path + "/_centroids/_SUCCESS").exists())
+      ivfBuildTrained(corpus, idCol, vecCol, k, iters, path)
+    path
+  }
+
   /** Query the persisted IVF index: rank the (broadcast) persisted centroids
     * per query, prune the corpus read to the union of probed cells — a
     * PartitionFilters-pruned scan, PlanSpec-asserted — and exact re-rank
