@@ -218,6 +218,51 @@ object Similarity {
       cellCol: String, probed: Seq[Any]): DataFrame =
     spark.read.parquet(path).filter(col(cellCol).isin(probed: _*))
 
+  /** Exact cosine near-dup pairs by blocked self-join — the LOOSE-threshold
+    * regime operator. At thresholds like 0.4 on dense vectors, exact recall
+    * is inherently Θ(n²): an LSH banding tight enough to prune also misses
+    * true mid-similarity pairs, and the banding config that kept recall
+    * exact was measured to be near-all-pairs anyway (see [[srpBandedPairs]]'s
+    * cost model). This operator accepts the quadratic comparison count and
+    * makes it DISTRIBUTE: ids are hash-assigned to `blocks` groups, every
+    * unordered block pair (g1 ≤ g2) is one join key, and the self-join runs
+    * as a single hash-partitioned equi-join on that key — n²/2 comparisons
+    * spread over blocks·(blocks+1)/2 buckets, never a broadcast nested
+    * loop. Per-row replication factor is blocks+1, the classic triangle
+    * self-join scheme; pick blocks ≈ √(2·cores) so buckets ≈ cores.
+    *
+    * Pair-once proof: a cross-block pair meets only under its one common
+    * key (the lhs emits (g_a, ≥g_a), the rhs emits (≤g_b, g_b) — they
+    * intersect in exactly (g_a, g_b) when g_a < g_b, in either role
+    * assignment); a same-block pair meets twice in bucket (g, g) and the
+    * id order filter keeps one. Output ids are normalized least/greatest.
+    *
+    * For genuinely near-dup thresholds (≥0.7) prefer [[srpBandedPairs]] in
+    * its pruning configuration (r=8, b=32): subquadratic candidates at
+    * (effectively) exact recall for tight pairs. */
+  def exactCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    import graft.functions.Portable
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("g", pmod(Portable.hash32(col("id").cast("string")), lit(blocks)).cast("int"))
+    val lhs = v.withColumn("k2", explode(sequence(col("g"), lit(blocks - 1))))
+      .select(col("g").as("k1"), col("k2"),
+        col("id").as("id_x"), col("v").as("vx"), col("nrm").as("nx"))
+    val rhs = v.withColumn("k1", explode(sequence(lit(0), col("g"))))
+      .select(col("k1"), col("g").as("k2"),
+        col("id").as("id_y"), col("v").as("vy"), col("nrm").as("ny"))
+    lhs.join(rhs, Seq("k1", "k2"))
+      // same-block bucket sees both orders → keep one; cross-block buckets
+      // see the pair once in arbitrary id order → keep it whichever way
+      .filter((col("k1") =!= col("k2") && col("id_x") =!= col("id_y")) ||
+        col("id_x") < col("id_y"))
+      .withColumn("cs", dot(col("vx"), col("vy")) / (col("nx") * col("ny")))
+      .filter(col("cs") >= threshold)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("cs"))
+  }
+
   /** Sign-random-projection LSH bucket per vector: `nbits` hyperplanes with
     * deterministic md5-seeded ±1 components; bucket = sign bit vector.
     * Groups near-colinear vectors; the scale path for cosine near-dup. */

@@ -21,8 +21,8 @@ object Headline {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_revenue",
     "q6_forecast_revenue", "q9_profit_by_nation", "q10_returned_items",
     "q18_large_orders", "q21_sole_blame",
-    "d2_minhash_lsh", "d5_embedding_near_dup", "sim2_ivf_knn",
-    "rj1_range_join", "aj1_asof_join")
+    "d2_minhash_lsh", "d5_embedding_near_dup", "d8_near_dup_tight",
+    "sim2_ivf_knn", "rj1_range_join", "aj1_asof_join")
 
   private val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 

@@ -43,6 +43,19 @@ object Pipeline {
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cache/$tag-$key/ivf"
   }
 
+  /** The d8 fixture corpus: embeddings (as double vectors, column `v`) plus
+    * a planted near-duplicate of each vec_id < 50 — id offset +10000, first
+    * component nudged +0.05. Deterministic, so DuckDB replays it exactly. */
+  private[graft] def plantedNearDupCorpus(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    base.unionByName(
+      base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(col("v")(0) + 0.05), slice(col("v"), 2, 63)).as("v")))
+  }
+
   // Brute-force top-k cosine oracle over a query-id predicate.
   private def knnOracle(queryPred: String, k: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -106,12 +119,15 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
-    // Embedding-cosine near-dup pairs at a fixed threshold. Candidates come
-    // from banded SRP (equi-join on (band, bucket) — distributes as a hash
-    // shuffle, never a nested-loop), then an exact cosine re-check in-pair.
-    // r=4 bits × 64 bands gives exhaustively-verified 100% recall at the
-    // test tiers for the 0.4 threshold (see Similarity.srpBandedPairs).
-    // 0.4 sits ≥1e-5 from every pair in the data, far above float noise.
+    // Embedding-cosine near-dup pairs at a fixed LOOSE threshold (0.4).
+    // Exact recall in this regime is inherently Θ(n²) on dense vectors —
+    // the round-5 banded-SRP config that kept recall exact was measured to
+    // be near-all-pairs (p≈0.98 collision for uncorrelated pairs), i.e. it
+    // paid the quadratic join AND 256 projections per vector on top. The
+    // headline now runs Similarity.exactCosinePairs: the same exact result
+    // through a blocked self-join that distributes the unavoidable n²/2
+    // comparisons as ONE hash-partitioned equi-join with no projection
+    // preamble. The TIGHT-threshold pruning regime is d8's path.
     QueryDef(
       "d5_embedding_near_dup",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -123,18 +139,47 @@ object Pipeline {
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cs, 6) AS cosine FROM p
         |WHERE cs >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val e = emb.select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", Similarity.norm(col("v")))
-      val cand = Similarity.srpBandedPairs(emb, "vec_id", "embedding",
-        bitsPerBand = 4, numBands = 64)
-      cand
+      Similarity.exactCosinePairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // d8: the PRUNING-regime near-dup pass — banded SRP at r=8 bits × 32
+    // bands over a corpus with deterministically planted near-duplicates
+    // (each vec_id < 50 gets a copy at id+10000 with its first component
+    // nudged by +0.05; the corpus is unit-norm, so every planted pair sits
+    // at cosine ≥ 0.9987 while the tightest natural pair is ≤ 0.61). At
+    // r=8 an uncorrelated pair collides in ≥1 of 32 bands with p ≈ 0.118 —
+    // candidates are ~12% of all pairs and shrink further the tighter the
+    // corpus clusters — while a ≥0.98 pair is missed with p < 1e-29.
+    // PipelineSpec measures both properties; the oracle replays the exact
+    // all-pairs ≥0.98 result that the candidate+verify pipeline must equal.
+    QueryDef(
+      "d8_near_dup_tight",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pl AS (SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(generate_series(1, 64),
+        |                        i -> CASE WHEN i = 1 THEN v[1] + 0.05 ELSE v[i] END) AS v
+        |       FROM e WHERE vec_id < 50),
+        |c AS (SELECT * FROM e UNION ALL SELECT * FROM pl),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+        |          / (a.nrm * b.nrm) AS cs
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cs, 6) AS cosine FROM p
+        |WHERE cs >= 0.98 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val corpus = plantedNearDupCorpus(Tables.load(s, dir, "embeddings"))
+      val e = corpus.withColumn("nrm", Similarity.norm(col("v")))
+      Similarity.srpBandedPairs(corpus, "vec_id", "v", bitsPerBand = 8, numBands = 32)
         .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
           Seq("id_a"))
         .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
           Seq("id_b"))
         .withColumn("cs", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cs") >= 0.4)
+        .filter(col("cs") >= 0.98)
         .select(col("id_a"), col("id_b"), round(col("cs"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     },

@@ -145,10 +145,11 @@ class PipelineSpec extends SparkTestBase {
       s"expected >1 of 4 cells used, got $used")
   }
 
-  test("d5 SRP banding: candidates are a superset of every exact pair at the gated threshold") {
-    // the d5/cur1 oracle gate rests on LSH recall; this pins it as an
-    // invariant at the gated tier instead of a data coincidence — every
+  test("SRP banding (wide config): candidates are a superset of every exact pair at 0.4") {
+    // the loose-threshold recall claim for the r=4/b=64 config — every
     // brute-force pair at cosine >= 0.4 must appear in the banded candidates
+    // (this config is documented near-all-pairs; d5's headline now uses the
+    // blocked exact join instead, this pins the operator's own guarantee)
     val e = emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -163,6 +164,49 @@ class PipelineSpec extends SparkTestBase {
     assert(exact.nonEmpty, "fixture has no pairs at the gated threshold")
     assert(exact.subsetOf(cand),
       s"SRP banding missed ${(exact -- cand).size} exact pairs: ${(exact -- cand).take(5)}")
+  }
+
+  test("exactCosinePairs: blocked self-join equals brute force, pair-once, any block count") {
+    // d5's headline operator: the triangle-blocked equi-join must produce
+    // exactly the brute-force pair set — no duplicate from the same-block
+    // bucket, no loss from the cross-block single-key routing — for block
+    // counts that force both bucket shapes
+    val e = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs", Similarity.dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")))
+      .filter(col("cs") >= 0.4)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (blocks <- Seq(1, 3, 16)) {
+      val got = Similarity.exactCosinePairs(emb, "vec_id", "embedding",
+          threshold = 0.4, blocks = blocks)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"blocks=$blocks emitted duplicate pairs")
+      assert(got.toSet == exact, s"blocks=$blocks: got ${got.length}, want ${exact.size}")
+    }
+  }
+
+  test("d8 pruning config (r=8,b=32): exact recall on planted near-dups AND subquadratic candidates") {
+    // the tight-threshold regime claim, measured: every planted >=0.98 pair
+    // is recovered, while the candidate set is a small fraction of all
+    // pairs (the analytic rate for uncorrelated pairs is ~11.8%)
+    val corpus = graft.queries.Pipeline.plantedNearDupCorpus(emb)
+    val n = corpus.count()
+    val allPairs = n * (n - 1) / 2
+    val cand = Similarity.srpBandedPairs(corpus, "vec_id", "v",
+      bitsPerBand = 8, numBands = 32)
+    val candCount = cand.count()
+    assert(candCount < allPairs / 4,
+      s"pruning regime not pruning: $candCount candidates of $allPairs pairs")
+    val planted = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000)).toSet
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(candSet),
+      s"missed ${(planted -- candSet).size} planted near-dup pairs")
   }
 
   test("as-of join: inclusive bound, per-key isolation, null when nothing precedes") {
