@@ -209,6 +209,47 @@ class PipelineSpec extends SparkTestBase {
       s"missed ${(planted -- candSet).size} planted near-dup pairs")
   }
 
+  test("trained IVF at nprobe << #cells: recall@10 vs brute force is measured and floored") {
+    // the ANN quality number the identity oracles (nprobe == #cells) can't
+    // give: train 16 cells, probe only 4, and measure recall@10 against
+    // brute force over every query. Uniform random unit vectors are the
+    // WORST case for IVF (no cluster structure to exploit: true neighbors
+    // sit near cell boundaries), so the floor here is a conservative bound;
+    // the planted-near-dup check below shows the clustered-data behavior
+    // where the true near neighbor co-locates with its query.
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_recall").toString + "/ivf"
+    Similarity.ivfBuildTrained(emb, "vec_id", "embedding", k = 16, iters = 3, idxDir)
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Similarity.ivfTopK(spark, idxDir, emb, "vec_id", "embedding",
+        "cell", k = 10, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect probed).size.toDouble / brute.size
+    info(f"trained IVF recall@10 nprobe=4/16 on uniform vectors: $recall%.3f")
+    assert(recall >= 0.5,
+      f"recall@10 collapsed below the uniform-data floor: $recall%.3f " +
+        "(measured 0.556 on the deterministic seeded training)")
+
+    // clustered data: every planted near-duplicate (cosine >= 0.9987) must
+    // be retrieved as its query's TOP neighbor even at nprobe=2 — the
+    // regime IVF exists for (a near-identical pair lands in the same
+    // trained cell, so the first probe already holds the answer)
+    val corpus = graft.queries.Pipeline.plantedNearDupCorpus(emb)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_recall2").toString + "/ivf"
+    Similarity.ivfBuildTrained(corpus, "vec_id", "v", k = 16, iters = 3, idx2)
+    val top1 = Similarity.ivfTopK(spark, idx2,
+        corpus.filter(col("vec_id") >= 10000), "vec_id", "v", "cell",
+        k = 1, nprobe = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hits = top1.count { case (q, nb) => nb == q - 10000 }
+    info(s"planted-near-dup top-1 retrieval at nprobe=2/16: $hits/${top1.length}")
+    assert(top1.length == 50 && hits == 50,
+      s"planted near-dups not retrieved as top-1: $hits/${top1.length}")
+  }
+
   test("as-of join: inclusive bound, per-key isolation, null when nothing precedes") {
     import spark.implicits._
     import graft.operators.AsOf
