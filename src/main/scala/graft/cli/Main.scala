@@ -127,11 +127,19 @@ object Main {
             .select(col("complete"), col("rows")).head()
           if (m.getBoolean(0)) Some(m.getLong(1)) else None
         } else None
-      val rows = recorded.getOrElse(Extract.formatFor(df.schema) match {
-        // format planner: CSV-incompatible columns (arrays/binary) → parquet
-        case Extract.Binary => Extract.extractParquet(df, dir)
-        case _ => Extract.extractGzipCsv(df, dir)
-      })
+      // format planner (migration.py:2115-2208): LOB-bearing tables are
+      // FORCED onto the per-row-file path (scalar CSV + one file per LOB
+      // cell); other CSV-incompatible columns (arrays/structs) → parquet;
+      // plain scalar tables → gzip text
+      val hasLob = df.schema.fields.exists(
+        _.dataType == org.apache.spark.sql.types.BinaryType)
+      val rows = recorded.getOrElse {
+        if (hasLob) Extract.extractLob(df, dir, w.tableId)
+        else Extract.formatFor(df.schema) match {
+          case Extract.Binary => Extract.extractParquet(df, dir)
+          case _ => Extract.extractGzipCsv(df, dir)
+        }
+      }
       s"graft.${w.name},${w.tableId},$rows"
     }
     val empties = toExtract.filter(_.rowCount == 0)

@@ -34,8 +34,24 @@ object Catalog {
   def tableMetas: Seq[TableMeta] =
     Tables.names.zipWithIndex.map { case (n, i) => TableMeta(1000 + i, n, "graft") }
 
+  /** Catalog over a concrete data directory: the canonical tables plus any
+    * extra `<name>.parquet` present in `sfDir` (alphabetical, ids continuing
+    * after the canonical block — deterministic for a given directory). This
+    * is what lets a migration run carry user tables beyond the fixed fixture
+    * set, e.g. a LOB-columned table, without touching the canonical ids the
+    * oracle fixtures pin. Local-path listing: the fixture dirs are local. */
+  def tableMetas(sfDir: String): Seq[TableMeta] = {
+    val extras = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .filterNot(Tables.names.contains).sorted.toSeq
+    (Tables.names ++ extras).zipWithIndex
+      .map { case (n, i) => TableMeta(1000 + i, n, "graft") }
+  }
+
   def columnMetas(spark: SparkSession, sfDir: String): Seq[ColumnMeta] =
-    tableMetas.flatMap { tm =>
+    tableMetas(sfDir).flatMap { tm =>
       val schema = Tables.load(spark, sfDir, tm.tableName).schema
       schema.fields.zipWithIndex.map { case (f, i) =>
         ColumnMeta(tm.tableId, i + 1, f.name, f.dataType.simpleString, widthOf(f.dataType), f.nullable)
@@ -67,7 +83,7 @@ object Catalog {
     * parquet rowcount, so this stays cheap.
     */
   def tableInventory(spark: SparkSession, sfDir: String): DataFrame = {
-    val perTable = tableMetas.map { tm =>
+    val perTable = tableMetas(sfDir).map { tm =>
       val df = Tables.load(spark, sfDir, tm.tableName)
       val width = rowWidth(df.schema)
       df.agg(count(lit(1)).as("row_count"))

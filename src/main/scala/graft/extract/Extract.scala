@@ -144,6 +144,35 @@ object Extract {
     finally out.close()
   }
 
+  /** LOB-table extract (the reference's forced per-row-file path for
+    * LOB-bearing tables, migration.py:2115-2118, 2261-2296): scalar columns
+    * go through the quoted-text plane (gzip CSV + manifest, format
+    * `lob_csv`), and each BinaryType column becomes one file per non-null
+    * cell under the sibling dir `<outDir>.lob<colId>` via [[LobSink]]. The
+    * row-id analog is the table's LEAD column (SURVEY §7.4's documented
+    * rowid deviation) and must cast to long. The manifest's schema DDL keeps
+    * the FULL schema including the LOB columns, which is what lets
+    * [[readExtractedAuto]] reassemble the table without the source. */
+  def extractLob(df: DataFrame, outDir: String, tableId: Int, numFiles: Int = 8): Long = {
+    import org.apache.spark.sql.types.BinaryType
+    val fields = df.schema.fields
+    val idCol = fields.head.name
+    val scalar = df.select(fields.filter(_.dataType != BinaryType).map(f => col(f.name)).toSeq: _*)
+    val cnt = writeCounted(scalar, numFiles)(
+      _.write.mode(SaveMode.Overwrite)
+        .option("compression", "gzip")
+        .option("header", "true")
+        .option("timestampFormat", CsvTimestampFormat)
+        .csv(outDir))
+    fields.zipWithIndex.collect { case (f, i) if f.dataType == BinaryType =>
+      LobSink.writePerRow(df, idCol, f.name, s"$outDir.lob${i + 1}",
+        tableId, colId = i + 1)
+    }
+    writeManifest(outDir, cnt, "lob_csv",
+      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL)
+    cnt
+  }
+
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -164,11 +193,31 @@ object Extract {
     * verify as-is and fails it, instead of being papered over by a re-read
     * of the intact source. */
   def readExtractedAuto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StructType}
     val m = readManifest(spark, dir).select("format", "schema").head()
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.getString(1))
+    val schema = StructType.fromDDL(m.getString(1))
     m.getString(0) match {
       case "parquet" => spark.read.schema(schema).parquet(dir)
       case "gzip_csv" => readExtracted(spark, dir, schema)
+      case "lob_csv" =>
+        // scalar plane from the CSV, LOB columns re-joined from their
+        // per-row files (file name carries the row id; a row with no file
+        // had a NULL cell — left join restores it)
+        val idName = schema.fields.head.name
+        val scalar = readExtracted(spark, dir,
+          StructType(schema.fields.filter(_.dataType != BinaryType)))
+        val full = schema.fields.zipWithIndex
+          .collect { case (f, i) if f.dataType == BinaryType => (f, i + 1) }
+          .foldLeft(scalar) { case (acc, (f, colId)) =>
+            val lob = LobSink.readBack(spark, s"$dir.lob$colId")
+              .select(
+                regexp_extract(col("file_name"), "_row(\\d+)\\.", 1)
+                  .cast("long").as("__lob_id"),
+                col("content").as(f.name))
+            acc.join(lob, acc(idName).cast("long") === col("__lob_id"), "left_outer")
+              .drop("__lob_id")
+          }
+        full.select(schema.fields.map(f => col(f.name)).toSeq: _*)
       case other => throw new IllegalArgumentException(s"unknown extract format: $other")
     }
   }

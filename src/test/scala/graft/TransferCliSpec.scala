@@ -164,6 +164,52 @@ class TransferCliSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(s"$out/warehouse/nation")))
   }
 
+  test("LOB-columned table routes through the per-row file plane and reloads byte-identical") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    // fixture data dir: the canonical tables plus one LOB-bearing extra —
+    // the dynamic catalog picks it up with the next table id
+    val dataDir = Files.createTempDirectory("graft_lobsf")
+    graft.core.Tables.names.foreach { n =>
+      Files.copy(Paths.get(s"$sfDir/$n.parquet"), dataDir.resolve(s"$n.parquet"))
+    }
+    val att = Seq(
+      (1L, "a.bin", Array[Byte](1, 2, 3)),
+      (2L, "b.bin", Array[Byte](-1, 0, 42, 9)),
+      (3L, "no-payload", null.asInstanceOf[Array[Byte]]),
+      (4L, "c.bin", Array[Byte](7))
+    ).toDF("att_id", "att_name", "payload")
+    att.coalesce(1).write.parquet(dataDir.resolve("tmp_att").toString)
+    val part = Files.list(dataDir.resolve("tmp_att")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, dataDir.resolve("attachments.parquet"))
+
+    val out = Files.createTempDirectory("graft_lobcli").toString
+    graft.cli.Main.fullExtraction(spark, dataDir.toString, out)
+    val listed = Files.readAllLines(Paths.get(s"$out/iq_tables.list")).asScala
+    assert(listed.size == graft.core.Tables.names.size + 1)
+    val attId = listed.find(_.startsWith("graft.attachments,")).get.split(',')(3)
+    // the planner FORCED the per-row path: one file per non-null LOB cell,
+    // named <tid>_row<id>.<colId> (payload is column 3)
+    val lobFiles = Files.list(Paths.get(s"$out/Extracted_Data/$attId.lob3"))
+      .iterator().asScala.map(_.getFileName.toString).filterNot(_.endsWith(".crc")).toSet
+    assert(lobFiles == Set(s"${attId}_row1.3", s"${attId}_row2.3", s"${attId}_row4.3"),
+      s"unexpected LOB file set: $lobFiles")
+    assert(Files.readString(Paths.get(s"$out/Extracted_Data/$attId.manifest.json"))
+      .contains("\"format\":\"lob_csv\""))
+
+    graft.cli.Main.fullLoad(spark, out)
+    val back = spark.read.parquet(s"$out/warehouse/attachments")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      att.schema.map(f => (f.name, f.dataType)))
+    val rows = back.orderBy("att_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(java.util.Arrays.equals(rows(0).getAs[Array[Byte]]("payload"), Array[Byte](1, 2, 3)))
+    assert(java.util.Arrays.equals(rows(1).getAs[Array[Byte]]("payload"), Array[Byte](-1, 0, 42, 9)))
+    assert(rows(2).isNullAt(2), "null LOB cell must reload as null")
+    assert(java.util.Arrays.equals(rows(3).getAs[Array[Byte]]("payload"), Array[Byte](7)))
+  }
+
   test("batch mode writes per-batch lists and spills oversize tables to no_extraction.list") {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("graft_batch").toString
