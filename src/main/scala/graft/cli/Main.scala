@@ -12,22 +12,31 @@ import graft.premigration.Checks
 import graft.rewrite.{ReloadFixture, Rewriter}
 
 /** CLI entry points with the reference's flag semantics (SURVEY §7.1 step 9):
-  * `--premigration | --fullextraction | --fullload` are mutually exclusive
-  * (`/root/reference/Migration/migration.py:102-107`), resume prompts become
-  * idempotent non-interactive reconciliation, and every phase leaves the
-  * same control files the reference does (iq_tables.list,
-  * ExtractedTables.out, HDL_LoadedTables.out).
+  * the five phase flags are mutually exclusive with exactly one required —
+  * `--onlyschema`/`--onlydata`/`--fullextraction` mirror the reference's
+  * unload mode matrix (`/root/reference/Migration/migration.py:39-107`:
+  * schema-only, data-only, or both), `--premigration`/`--fullload` the
+  * other utilities. Resume prompts become idempotent non-interactive
+  * reconciliation, and every phase leaves the same control files the
+  * reference does (iq_tables.list, ExtractedTables.out,
+  * HDL_LoadedTables.out).
   *
-  * Usage: graft.cli.Main --premigration|--fullextraction|--fullload
-  *                       [--sfdir DIR] [--out DIR]
+  * Usage: graft.cli.Main --premigration|--onlyschema|--onlydata|
+  *                       --fullextraction|--fullload
+  *                       [--sfdir DIR] [--out DIR] [--batchsize GB]
   */
 object Main {
 
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
-    val phases = flags.intersect(Set("--premigration", "--fullextraction", "--fullload"))
+    // the reference's mutual-exclusion matrix (migration.py:103-107):
+    // --onlyschema / --onlydata / --fullextraction are exclusive unload
+    // modes; premigration and load are the other phases of the unified CLI
+    val phases = flags.intersect(Set("--premigration", "--onlyschema",
+      "--onlydata", "--fullextraction", "--fullload"))
     require(phases.size == 1,
-      "exactly one of --premigration | --fullextraction | --fullload is required")
+      "exactly one of --premigration | --onlyschema | --onlydata | " +
+        "--fullextraction | --fullload is required (they are mutually exclusive)")
     def opt(name: String, default: String): String =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(default)
     val sfDir = opt("--sfdir", "/root/testdata/sf0.001")
@@ -42,6 +51,9 @@ object Main {
     val cfg = graft.core.Config.MigrationConfig("/", batchSizeGb = batchGb)
     try phases.head match {
       case "--premigration" => premigration(spark, sfDir, out)
+      case "--onlyschema" => onlySchema(spark, out)
+      case "--onlydata" =>
+        onlyData(spark, sfDir, out, cfg.batchSizeGb.toLong << 30)
       case "--fullextraction" =>
         fullExtraction(spark, sfDir, out, cfg.batchSizeGb.toLong << 30)
       case "--fullload" => fullLoad(spark, out)
@@ -70,14 +82,26 @@ object Main {
     Files.writeString(Paths.get(s"$out/pre_migration.out"), report)
   }
 
-  def fullExtraction(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, out: String, batchCapBytes: Long = 0L): Unit = {
-    // SCHEMA: rewrite the reload script, splitting FK DDL out
+  /** Schema unload only (`--onlyschema y`, migration.py:237-238): rewrite
+    * the reload script, splitting FK DDL out. */
+  def onlySchema(spark: org.apache.spark.sql.SparkSession, out: String): Unit = {
     val rewritten = Rewriter.rewrite(spark, ReloadFixture.lines).collect().toSeq
     val (main, fk) = Rewriter.serialize(rewritten)
     Files.writeString(Paths.get(s"$out/AutoUpdated_Reload.sql"), main)
     Files.writeString(Paths.get(s"$out/Foreign_Key_Constraint.sql"), fk)
-    // DATA: inventory → work list → resume-aware extract
+  }
+
+  /** Both unloads (`--fullextraction y`, migration.py:241). */
+  def fullExtraction(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, out: String, batchCapBytes: Long = 0L): Unit = {
+    onlySchema(spark, out)
+    onlyData(spark, sfDir, out, batchCapBytes)
+  }
+
+  /** Data unload only (`--onlydata y`, migration.py:239-240):
+    * inventory → work list → resume-aware extract. */
+  def onlyData(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, out: String, batchCapBytes: Long = 0L): Unit = {
     val inv = Catalog.tableInventory(spark, sfDir).collect()
     val workList = inv.map(r => Extract.WorkItem(
       r.getString(0).split('.').last, r.getLong(1), r.getLong(2), r.getInt(3)))

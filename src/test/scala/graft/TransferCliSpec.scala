@@ -268,10 +268,40 @@ class TransferCliSpec extends SparkTestBase {
       Paths.get(s"$out/Extracted_Data/1000.manifest.json")) == beforeStamp)
   }
 
-  test("cli rejects phase flag combinations") {
-    assertThrows[IllegalArgumentException](
-      graft.cli.Main.main(Array("--premigration", "--fullload")))
-    assertThrows[IllegalArgumentException](graft.cli.Main.main(Array.empty))
+  test("cli rejects phase flag combinations (five-flag mutual exclusion)") {
+    // the reference's matrix (migration.py:103-107): pairwise exclusive,
+    // one required
+    for (combo <- Seq(
+        Array("--premigration", "--fullload"),
+        Array("--onlyschema", "--onlydata"),
+        Array("--onlyschema", "--fullextraction"),
+        Array("--onlydata", "--fullextraction"),
+        Array("--onlyschema", "--fullload"),
+        Array.empty[String]))
+      assertThrows[IllegalArgumentException](graft.cli.Main.main(combo))
+  }
+
+  test("--onlyschema and --onlydata run their phase subsets only") {
+    import scala.jdk.CollectionConverters._
+    val so = Files.createTempDirectory("graft_onlyschema").toString
+    graft.cli.Main.onlySchema(spark, so)
+    assert(Files.exists(Paths.get(s"$so/AutoUpdated_Reload.sql")))
+    assert(Files.exists(Paths.get(s"$so/Foreign_Key_Constraint.sql")))
+    assert(!Files.exists(Paths.get(s"$so/iq_tables.list")),
+      "--onlyschema must not run the data unload")
+    assert(!Files.exists(Paths.get(s"$so/ExtractedTables.out")))
+
+    val dd = Files.createTempDirectory("graft_onlydata").toString
+    graft.cli.Main.onlyData(spark, sfDir, dd)
+    assert(!Files.exists(Paths.get(s"$dd/AutoUpdated_Reload.sql")),
+      "--onlydata must not run the schema unload")
+    assert(Files.exists(Paths.get(s"$dd/iq_tables.list")))
+    val extracted = Files.readAllLines(Paths.get(s"$dd/ExtractedTables.out")).asScala
+    assert(extracted.size == graft.core.Tables.names.size)
+    // a data-only unload still feeds the load phase completely
+    graft.cli.Main.fullLoad(spark, dd)
+    assert(Files.readAllLines(Paths.get(s"$dd/HDL_LoadedTables.out")).asScala
+      .forall(_.endsWith(",Y")))
   }
 
   test("load retries failed tables FIRST on resume (load_schema_and_data.py:854-874)") {
