@@ -49,14 +49,22 @@ object Main {
     // through the same config validation (0 = batching off, else >= 100)
     val batchGb = opt("--batchsize", "0").toInt
     val cfg = graft.core.Config.MigrationConfig("/", batchSizeGb = batchGb)
+    // --jdbc <url> switches the data plane to the live server: extraction
+    // phases inventory and read through the connection, the load phase
+    // writes back through it (the "Spark SQL + JDBC" approach end-to-end)
+    val jdbc = opt("--jdbc", "")
+    val capBytes = cfg.batchSizeGb.toLong << 30
     try phases.head match {
       case "--premigration" => premigration(spark, sfDir, out)
       case "--onlyschema" => onlySchema(spark, out)
       case "--onlydata" =>
-        onlyData(spark, sfDir, out, cfg.batchSizeGb.toLong << 30)
+        if (jdbc.nonEmpty) onlyDataJdbc(spark, jdbc, out, capBytes)
+        else onlyData(spark, sfDir, out, capBytes)
       case "--fullextraction" =>
-        fullExtraction(spark, sfDir, out, cfg.batchSizeGb.toLong << 30)
-      case "--fullload" => fullLoad(spark, out)
+        if (jdbc.nonEmpty) { onlySchema(spark, out); onlyDataJdbc(spark, jdbc, out, capBytes) }
+        else fullExtraction(spark, sfDir, out, capBytes)
+      case "--fullload" =>
+        if (jdbc.nonEmpty) fullLoadJdbc(spark, out, jdbc) else fullLoad(spark, out)
     } finally spark.stop()
   }
 
@@ -101,10 +109,39 @@ object Main {
   /** Data unload only (`--onlydata y`, migration.py:239-240):
     * inventory → work list → resume-aware extract. */
   def onlyData(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, out: String, batchCapBytes: Long = 0L): Unit = {
-    val inv = Catalog.tableInventory(spark, sfDir).collect()
-    val workList = inv.map(r => Extract.WorkItem(
-      r.getString(0).split('.').last, r.getLong(1), r.getLong(2), r.getInt(3)))
+      sfDir: String, out: String, batchCapBytes: Long = 0L): Unit =
+    onlyDataFrom(spark, out, batchCapBytes,
+      Catalog.tableInventory(spark, sfDir).collect().toSeq.map(r =>
+        Extract.WorkItem(r.getString(0).split('.').last,
+          r.getLong(1), r.getLong(2), r.getInt(3))),
+      n => Tables.load(spark, sfDir, n))
+
+  /** Data unload against a LIVE server (`--onlydata --jdbc <url>`): the
+    * inventory comes from the connection's catalog metadata (the S1 analog
+    * of the reference's SYSTABLE scan over pyodbc, migration.py:1691) and
+    * every table leaves through `spark.read.jdbc`. */
+  def onlyDataJdbc(spark: org.apache.spark.sql.SparkSession,
+      url: String, out: String, batchCapBytes: Long = 0L): Unit =
+    onlyDataFrom(spark, out, batchCapBytes, jdbcWorkItems(spark, url),
+      n => graft.sources.Jdbc.read(spark, url, n))
+
+  /** Live-catalog inventory: table list from JDBC metadata, row counts and
+    * declared sizes through one JDBC-backed count per table (the same
+    * per-table census shape as the parquet catalog — one row per TABLE, so
+    * driver-side assembly is catalog-sized, never data-sized). */
+  def jdbcWorkItems(spark: org.apache.spark.sql.SparkSession,
+      url: String): Seq[Extract.WorkItem] =
+    graft.sources.Jdbc.listTables(url).sorted.zipWithIndex.map { case (n, i) =>
+      val df = graft.sources.Jdbc.read(spark, url, n)
+      val cnt = df.count()
+      Extract.WorkItem(n.toLowerCase, cnt,
+        cnt * Catalog.rowWidth(df.schema), 2000 + i)
+    }
+
+  private def onlyDataFrom(spark: org.apache.spark.sql.SparkSession,
+      out: String, batchCapBytes: Long,
+      workList: Seq[Extract.WorkItem],
+      loadTable: String => org.apache.spark.sql.DataFrame): Unit = {
     def ctlLine(w: Extract.WorkItem) =
       s"graft.${w.name},${w.rowCount},${w.sizeBytes},${w.tableId},N"
     Files.writeString(Paths.get(s"$out/iq_tables.list"),
@@ -124,7 +161,7 @@ object Main {
       .foreach(f => Files.delete(f.toPath))
     val toExtract: Seq[Extract.WorkItem] =
       if (batchCapBytes > 0) {
-        val (batches, spilled) = Extract.batch(workList.toSeq, batchCapBytes)
+        val (batches, spilled) = Extract.batch(workList, batchCapBytes)
         batches.zipWithIndex.foreach { case (b, i) =>
           Files.writeString(Paths.get(s"$out/iq_tables_Batch_${i + 1}.list"),
             b.map(ctlLine).mkString("", "\n", "\n"))
@@ -135,9 +172,9 @@ object Main {
         require(batches.map(_.size).sum + spilled.size == workList.length,
           "batch partition lost tables (batches + no_extraction != iq_tables)")
         batches.flatten
-      } else workList.toSeq
+      } else workList
     val done = toExtract.filter(_.rowCount > 0).map { w =>
-      val df = Tables.load(spark, sfDir, w.name)
+      val df = loadTable(w.name)
       val dir = s"$out/Extracted_Data/${w.tableId}"
       // resume (migration.py:1940-2002): a complete manifest means this
       // table's extract already finished — skip it, idempotently. The rows
@@ -172,7 +209,21 @@ object Main {
       (done ++ empties).mkString("", "\n", "\n"))
   }
 
-  def fullLoad(spark: org.apache.spark.sql.SparkSession, out: String): Unit = {
+  def fullLoad(spark: org.apache.spark.sql.SparkSession, out: String): Unit =
+    fullLoadWith(spark, out, (work, failedPath, loadedOk) =>
+      Loader.loadAll(work, s"$out/warehouse", failedPath, loadedOk))
+
+  /** Load back into a LIVE server (`--fullload --jdbc <url>`): same control
+    * files and retry ordering, per-table loads through the JDBC
+    * stage→verify→promote. */
+  def fullLoadJdbc(spark: org.apache.spark.sql.SparkSession,
+      out: String, url: String): Unit =
+    fullLoadWith(spark, out, (work, failedPath, loadedOk) =>
+      Loader.loadAllWith(work, failedPath, loadedOk,
+        w => Loader.loadVerifiedJdbc(spark, w.df(), w.expected(), url, w.name)))
+
+  private def fullLoadWith(spark: org.apache.spark.sql.SparkSession, out: String,
+      runLoads: (Seq[Loader.LoadWork], java.nio.file.Path, Set[String]) => Seq[Loader.LoadResult]): Unit = {
     // resume reconciliation (load_schema_and_data.py:776-874): previously
     // ok-loaded tables are skipped, previously FAILED tables retry FIRST
     val loadedPath = Paths.get(s"$out/HDL_LoadedTables.out")
@@ -202,8 +253,7 @@ object Main {
         () => Extract.readExtractedAuto(spark, s"$out/Extracted_Data/$tid"),
         () => cnt)
     }
-    val results = Loader.loadAll(work, s"$out/warehouse",
-      Paths.get(s"$out/HDL_FailedTables.out"), loadedOk)
+    val results = runLoads(work, Paths.get(s"$out/HDL_FailedTables.out"), loadedOk)
     val doneNames = results.map(_.tableName).toSet ++ empties.map(_._1)
     val keptOk = loadedOk.filterNot(doneNames).map(n => s"graft.$n,-,Y")
     Files.writeString(loadedPath,

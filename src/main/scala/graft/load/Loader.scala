@@ -97,6 +97,30 @@ object Loader {
         (f(0).split('.').last, f(1).toInt, f(2).toLong)
       }
 
+  /** Stage → verify → promote against a LIVE JDBC sink (S16's write half,
+    * the reference's `LOAD TABLE` + count-verify + rollback transaction,
+    * load_schema_and_data.py:295-299): write to `<table>_staging`, count it
+    * through a fresh read, and only on match swap it in (drop the previous
+    * committed table, `RENAME TABLE` the staging copy over it). A failed
+    * verify drops the staging table and leaves the committed data untouched
+    * — the same table-level atomicity as the parquet path's rename-aside. */
+  def loadVerifiedJdbc(spark: SparkSession, df: DataFrame, expected: Long,
+      url: String, table: String): LoadResult = {
+    import graft.sources.Jdbc
+    val staging = s"${table}_staging"
+    Jdbc.write(df, url, staging, SaveMode.Overwrite)
+    val loaded = Jdbc.read(spark, url, staging).count()
+    if (loaded != expected) {
+      Jdbc.execute(url, s"DROP TABLE $staging", ignoreMissingTable = true)
+      LoadResult(table, expected, loaded, ok = false,
+        detail = s"count mismatch: loaded $loaded, expected $expected")
+    } else {
+      Jdbc.execute(url, s"DROP TABLE $table", ignoreMissingTable = true)
+      Jdbc.execute(url, s"RENAME TABLE $staging TO $table")
+      LoadResult(table, expected, loaded, ok = true)
+    }
+  }
+
   /** Failed-first load ordering (load_schema_and_data.py:854-874): the
     * reference drains its failed-retry queue before fresh work. Reads the
     * persisted failed set, partitions the work list into (retry, fresh),
@@ -105,7 +129,14 @@ object Loader {
     * order so the ordering contract is testable. */
   def loadAll(work: Seq[LoadWork], warehouseDir: String,
       failedListPath: java.nio.file.Path,
-      loadedOk: Set[String] = Set.empty): Seq[LoadResult] = {
+      loadedOk: Set[String] = Set.empty): Seq[LoadResult] =
+    loadAllWith(work, failedListPath, loadedOk,
+      w => loadVerified(w.df(), w.expected(), s"$warehouseDir/${w.name}"))
+
+  /** [[loadAll]]'s ordering/retry contract with a pluggable per-table
+    * loader — the parquet warehouse and the live JDBC sink share it. */
+  def loadAllWith(work: Seq[LoadWork], failedListPath: java.nio.file.Path,
+      loadedOk: Set[String], loadOne: LoadWork => LoadResult): Seq[LoadResult] = {
     val prevFailed: Set[String] =
       if (java.nio.file.Files.exists(failedListPath))
         java.nio.file.Files.readAllLines(failedListPath)
@@ -113,9 +144,7 @@ object Loader {
       else Set.empty
     val pending = work.filter(w => prevFailed.contains(w.name) || !loadedOk.contains(w.name))
     val (retry, fresh) = pending.partition(w => prevFailed.contains(w.name))
-    val results = (retry ++ fresh).map { w =>
-      loadVerified(w.df(), w.expected(), s"$warehouseDir/${w.name}")
-    }
+    val results = (retry ++ fresh).map(loadOne)
     java.nio.file.Files.writeString(failedListPath,
       results.filterNot(_.ok).map(_.tableName).mkString("", "\n", "\n"))
     results

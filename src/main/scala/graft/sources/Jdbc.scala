@@ -65,4 +65,38 @@ object Jdbc {
 
   /** An embedded-Derby URL for a throwaway database under `dir`. */
   def derbyUrl(dir: String): String = s"jdbc:derby:$dir/graftdb;create=true"
+
+  /** User tables visible through the connection's catalog metadata — the
+    * live-mode SYSTABLE scan (S1; reference inventories user tables at
+    * migration.py:1691 with system schemas excluded the same way). */
+  def listTables(url: String): Seq[String] = {
+    quietDerby
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) {
+        val schem = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+        if (!schem.toUpperCase.startsWith("SYS")) buf += rs.getString("TABLE_NAME")
+      }
+      buf.toSeq
+    } finally conn.close()
+  }
+
+  /** Run one DDL/DML statement on the live connection (the load phase's
+    * promote step needs DROP/RENAME, which the DataFrame writer can't
+    * express). `ignoreMissingTable` swallows the missing-table states so
+    * drop-if-exists works on engines without IF EXISTS (Derby). */
+  def execute(url: String, sql: String, ignoreMissingTable: Boolean = false): Unit = {
+    quietDerby
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql)
+      catch {
+        case e: java.sql.SQLException
+            if ignoreMissingTable && Set("42Y55", "42X05").contains(e.getSQLState) => ()
+      } finally st.close()
+    } finally conn.close()
+  }
 }

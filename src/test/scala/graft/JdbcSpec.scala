@@ -45,4 +45,54 @@ class JdbcSpec extends SparkTestBase {
     Jdbc.write(nation, url, "nation_modes")
     assert(Jdbc.read(spark, url, "nation_modes").count() == nation.count())
   }
+
+  test("live-JDBC CLI mode: catalog-driven extract and load back end-to-end") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // a dedicated live "server" seeded with three user tables
+    val liveUrl = Jdbc.derbyUrl(Files.createTempDirectory("graft_jdbc_cli").toString)
+    val seed = Seq("nation", "region", "supplier")
+    seed.foreach { n =>
+      // drop columns JDBC sinks can't carry losslessly in this fixture: none
+      Jdbc.write(Tables.load(spark, sfDir, n), liveUrl, n)
+    }
+    val out = Files.createTempDirectory("graft_jdbc_out").toString
+    // extraction: the table LIST must come from the connection's metadata,
+    // not from any parquet fixture
+    graft.cli.Main.onlyDataJdbc(spark, liveUrl, out)
+    val listed = Files.readAllLines(Paths.get(s"$out/iq_tables.list")).asScala
+    assert(listed.map(_.split(',')(0)).sorted == seed.map(n => s"graft.$n").sorted,
+      s"live inventory mismatch: $listed")
+    val extracted = Files.readAllLines(Paths.get(s"$out/ExtractedTables.out")).asScala
+    assert(extracted.size == seed.size)
+    // mutate the live tables so a source-reading load would be detectable,
+    // then load back: data must come from Extracted_Data, and land via the
+    // staging-table promote
+    Jdbc.execute(liveUrl, "DELETE FROM nation")
+    graft.cli.Main.fullLoadJdbc(spark, out, liveUrl)
+    val loaded = Files.readAllLines(Paths.get(s"$out/HDL_LoadedTables.out")).asScala
+    assert(loaded.size == seed.size && loaded.forall(_.endsWith(",Y")), s"$loaded")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val back = Jdbc.read(spark, liveUrl, "nation")
+    assert(back.count() == nation.count(), "emptied live table not restored from extracts")
+    assert(back.exceptAll(nation).count() == 0 && nation.exceptAll(back).count() == 0)
+    // no staging residue after promote
+    assert(!Jdbc.listTables(liveUrl).exists(_.toLowerCase.contains("_staging")))
+    // a doctored extract record fails the JDBC load verify and leaves the
+    // committed table intact (staging dropped, not promoted)
+    val ctl = Paths.get(s"$out/ExtractedTables.out")
+    val doctored = Files.readAllLines(ctl).asScala.map { l =>
+      if (l.startsWith("graft.region,")) {
+        val f = l.split(','); s"${f(0)},${f(1)},${f(2).toLong + 3}"
+      } else l
+    }
+    Files.writeString(ctl, doctored.mkString("", "\n", "\n"))
+    Files.delete(Paths.get(s"$out/HDL_LoadedTables.out"))
+    val err = intercept[IllegalArgumentException](
+      graft.cli.Main.fullLoadJdbc(spark, out, liveUrl))
+    assert(err.getMessage.contains("load verification failed"))
+    assert(Jdbc.read(spark, liveUrl, "region").count() ==
+      Tables.load(spark, sfDir, "region").count())
+    assert(!Jdbc.listTables(liveUrl).exists(_.toLowerCase.contains("_staging")))
+  }
 }
