@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
-import graft.core.{Catalog, Engine, Tables}
+import graft.core.{Catalog, Ctl, Engine, Tables}
 import graft.extract.Extract
 import graft.load.Loader
 import graft.premigration.Checks
@@ -41,7 +41,7 @@ object Main {
       args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(default)
     val sfDir = opt("--sfdir", "/root/testdata/sf0.001")
     val out = opt("--out", Files.createTempDirectory("graft_run").toString)
-    Files.createDirectories(Paths.get(out))
+    Ctl.mkdirs(new org.apache.hadoop.conf.Configuration(), out)
 
     val spark = Engine.session("graft-cli")
     spark.sparkContext.setLogLevel("WARN")
@@ -87,7 +87,8 @@ object Main {
     val report = (gateReport ++ findings.map(r =>
       f"${r.getString(0)}%-28s ${r.getLong(1)}%8d  actionRequired=${r.getBoolean(2)}"))
       .mkString("# graft pre-migration report\n", "\n", "\n")
-    Files.writeString(Paths.get(s"$out/pre_migration.out"), report)
+    Ctl.write(spark.sparkContext.hadoopConfiguration,
+      s"$out/pre_migration.out", report)
   }
 
   /** Schema unload only (`--onlyschema y`, migration.py:237-238): rewrite
@@ -95,8 +96,9 @@ object Main {
   def onlySchema(spark: org.apache.spark.sql.SparkSession, out: String): Unit = {
     val rewritten = Rewriter.rewrite(spark, ReloadFixture.lines).collect().toSeq
     val (main, fk) = Rewriter.serialize(rewritten)
-    Files.writeString(Paths.get(s"$out/AutoUpdated_Reload.sql"), main)
-    Files.writeString(Paths.get(s"$out/Foreign_Key_Constraint.sql"), fk)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Ctl.write(conf, s"$out/AutoUpdated_Reload.sql", main)
+    Ctl.write(conf, s"$out/Foreign_Key_Constraint.sql", fk)
   }
 
   /** Both unloads (`--fullextraction y`, migration.py:241). */
@@ -142,9 +144,10 @@ object Main {
       out: String, batchCapBytes: Long,
       workList: Seq[Extract.WorkItem],
       loadTable: String => org.apache.spark.sql.DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     def ctlLine(w: Extract.WorkItem) =
       s"graft.${w.name},${w.rowCount},${w.sizeBytes},${w.tableId},N"
-    Files.writeString(Paths.get(s"$out/iq_tables.list"),
+    Ctl.write(conf, s"$out/iq_tables.list",
       workList.map(ctlLine).mkString("", "\n", "\n"))
     // batch mode (migration.py:1758-1784): size-capped batches written as
     // iq_tables_Batch_<n>.list (1-based, the reference's naming); tables
@@ -155,19 +158,19 @@ object Main {
     // break the batches+spill==iq_tables invariant below (a re-run with a
     // different cap writes fewer files and leaves the old tail behind) —
     // clear them unconditionally, batching on or off
-    Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("iq_tables_Batch_\\d+\\.list") ||
-        f.getName == "no_extraction.list")
-      .foreach(f => Files.delete(f.toPath))
+    Ctl.listFileNames(conf, out)
+      .filter(n => n.matches("iq_tables_Batch_\\d+\\.list") ||
+        n == "no_extraction.list")
+      .foreach(n => Ctl.delete(conf, s"$out/$n"))
     val toExtract: Seq[Extract.WorkItem] =
       if (batchCapBytes > 0) {
         val (batches, spilled) = Extract.batch(workList, batchCapBytes)
         batches.zipWithIndex.foreach { case (b, i) =>
-          Files.writeString(Paths.get(s"$out/iq_tables_Batch_${i + 1}.list"),
+          Ctl.write(conf, s"$out/iq_tables_Batch_${i + 1}.list",
             b.map(ctlLine).mkString("", "\n", "\n"))
         }
         if (spilled.nonEmpty)
-          Files.writeString(Paths.get(s"$out/no_extraction.list"),
+          Ctl.write(conf, s"$out/no_extraction.list",
             spilled.map(ctlLine).mkString("", "\n", "\n"))
         require(batches.map(_.size).sum + spilled.size == workList.length,
           "batch partition lost tables (batches + no_extraction != iq_tables)")
@@ -183,7 +186,7 @@ object Main {
       // run re-recording the source count would let the load verify compare
       // source-to-source and mask an extract-phase loss.
       val recorded: Option[Long] =
-        if (Files.exists(Paths.get(dir + ".manifest.json"))) {
+        if (Ctl.exists(conf, dir + ".manifest.json")) {
           val m = Extract.readManifest(spark, dir)
             .select(col("complete"), col("rows")).head()
           if (m.getBoolean(0)) Some(m.getLong(1)) else None
@@ -205,13 +208,14 @@ object Main {
     }
     val empties = toExtract.filter(_.rowCount == 0)
       .map(w => s"graft.${w.name},${w.tableId},0")
-    Files.writeString(Paths.get(s"$out/ExtractedTables.out"),
+    Ctl.write(conf, s"$out/ExtractedTables.out",
       (done ++ empties).mkString("", "\n", "\n"))
   }
 
   def fullLoad(spark: org.apache.spark.sql.SparkSession, out: String): Unit =
     fullLoadWith(spark, out, (work, failedPath, loadedOk) =>
-      Loader.loadAll(work, s"$out/warehouse", failedPath, loadedOk))
+      Loader.loadAll(work, s"$out/warehouse", failedPath, loadedOk,
+        spark.sparkContext.hadoopConfiguration))
 
   /** Load back into a LIVE server (`--fullload --jdbc <url>`): same control
     * files and retry ordering, per-table loads through the JDBC
@@ -220,16 +224,18 @@ object Main {
       out: String, url: String): Unit =
     fullLoadWith(spark, out, (work, failedPath, loadedOk) =>
       Loader.loadAllWith(work, failedPath, loadedOk,
-        w => Loader.loadVerifiedJdbc(spark, w.df(), w.expected(), url, w.name)))
+        w => Loader.loadVerifiedJdbc(spark, w.df(), w.expected(), url, w.name),
+        spark.sparkContext.hadoopConfiguration))
 
   private def fullLoadWith(spark: org.apache.spark.sql.SparkSession, out: String,
-      runLoads: (Seq[Loader.LoadWork], java.nio.file.Path, Set[String]) => Seq[Loader.LoadResult]): Unit = {
+      runLoads: (Seq[Loader.LoadWork], String, Set[String]) => Seq[Loader.LoadResult]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     // resume reconciliation (load_schema_and_data.py:776-874): previously
     // ok-loaded tables are skipped, previously FAILED tables retry FIRST
-    val loadedPath = Paths.get(s"$out/HDL_LoadedTables.out")
+    val loadedPath = s"$out/HDL_LoadedTables.out"
     val loadedOk: Set[String] =
-      if (Files.exists(loadedPath))
-        Files.readAllLines(loadedPath).toArray(Array.empty[String])
+      if (Ctl.exists(conf, loadedPath))
+        Ctl.readLines(conf, loadedPath)
           .filter(_.endsWith(",Y")).map(_.split(',')(0).stripPrefix("graft.")).toSet
       else Set.empty
     // expected counts come from the extract phase's control file, NOT a
@@ -239,24 +245,24 @@ object Main {
     // Extracted_Data/<tid>/<file>` (migration.py:1538-1556,
     // load_table.sh:36-87). Verifying extract-written bytes against the
     // extract-recorded count means a truncated extract FILE fails here.
-    val ctl = Paths.get(s"$out/ExtractedTables.out")
-    require(Files.exists(ctl),
+    val ctl = s"$out/ExtractedTables.out"
+    require(Ctl.exists(conf, ctl),
       "--fullload requires ExtractedTables.out from a prior --fullextraction")
-    val counts = Loader.extractedCounts(ctl)
+    val counts = Loader.extractedCounts(Ctl.readLines(conf, ctl))
     // empty tables were short-circuited by the extract (migration.py:
     // 1921-1931) — no files exist, so there is nothing to load; record Y
     val (loadable, empties) = counts.partition { case (_, tid, rows) =>
-      rows > 0 || Files.exists(Paths.get(s"$out/Extracted_Data/$tid.manifest.json"))
+      rows > 0 || Ctl.exists(conf, s"$out/Extracted_Data/$tid.manifest.json")
     }
     val work = loadable.map { case (n, tid, cnt) =>
       Loader.LoadWork(n,
         () => Extract.readExtractedAuto(spark, s"$out/Extracted_Data/$tid"),
         () => cnt)
     }
-    val results = runLoads(work, Paths.get(s"$out/HDL_FailedTables.out"), loadedOk)
+    val results = runLoads(work, s"$out/HDL_FailedTables.out", loadedOk)
     val doneNames = results.map(_.tableName).toSet ++ empties.map(_._1)
     val keptOk = loadedOk.filterNot(doneNames).map(n => s"graft.$n,-,Y")
-    Files.writeString(loadedPath,
+    Ctl.write(conf, loadedPath,
       (results.map(r => s"graft.${r.tableName},${r.loaded},${if (r.ok) "Y" else "N"}")
         ++ empties.filterNot(e => loadedOk.contains(e._1)).map(e => s"graft.${e._1},0,Y")
         ++ keptOk).mkString("", "\n", "\n"))

@@ -88,14 +88,15 @@ object Loader {
     * load_schema_and_data.py:709-735). Loads verify against the EXTRACT
     * record, not a fresh source count: that detects an extract-phase loss
     * (a doctored/incomplete extract fails the verify) and removes one full
-    * source scan per table. Returns (table, tableId, expectedRows) in file
-    * order; the tableId locates the table's `Extracted_Data/<tid>` artifacts. */
-  def extractedCounts(path: java.nio.file.Path): Seq[(String, Int, Long)] =
-    java.nio.file.Files.readAllLines(path).toArray(Array.empty[String])
-      .toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
-        val f = line.split(',')
-        (f(0).split('.').last, f(1).toInt, f(2).toLong)
-      }
+    * source scan per table. Takes the control file's LINES (the caller reads
+    * them through its path's filesystem); returns (table, tableId,
+    * expectedRows) in file order — the tableId locates the table's
+    * `Extracted_Data/<tid>` artifacts. */
+  def extractedCounts(lines: Seq[String]): Seq[(String, Int, Long)] =
+    lines.map(_.trim).filter(_.nonEmpty).map { line =>
+      val f = line.split(',')
+      (f(0).split('.').last, f(1).toInt, f(2).toLong)
+    }
 
   /** Stage → verify → promote against a LIVE JDBC sink (S16's write half,
     * the reference's `LOAD TABLE` + count-verify + rollback transaction,
@@ -128,24 +129,29 @@ object Loader {
     * failed set from this run's outcomes. Returns results in execution
     * order so the ordering contract is testable. */
   def loadAll(work: Seq[LoadWork], warehouseDir: String,
-      failedListPath: java.nio.file.Path,
-      loadedOk: Set[String] = Set.empty): Seq[LoadResult] =
+      failedListPath: String, loadedOk: Set[String] = Set.empty,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[LoadResult] =
     loadAllWith(work, failedListPath, loadedOk,
-      w => loadVerified(w.df(), w.expected(), s"$warehouseDir/${w.name}"))
+      w => loadVerified(w.df(), w.expected(), s"$warehouseDir/${w.name}"), conf)
 
   /** [[loadAll]]'s ordering/retry contract with a pluggable per-table
-    * loader — the parquet warehouse and the live JDBC sink share it. */
-  def loadAllWith(work: Seq[LoadWork], failedListPath: java.nio.file.Path,
-      loadedOk: Set[String], loadOne: LoadWork => LoadResult): Seq[LoadResult] = {
+    * loader — the parquet warehouse and the live JDBC sink share it. The
+    * failed-list control file rides its path's Hadoop FileSystem like every
+    * other control file. */
+  def loadAllWith(work: Seq[LoadWork], failedListPath: String,
+      loadedOk: Set[String], loadOne: LoadWork => LoadResult,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[LoadResult] = {
+    import graft.core.Ctl
     val prevFailed: Set[String] =
-      if (java.nio.file.Files.exists(failedListPath))
-        java.nio.file.Files.readAllLines(failedListPath)
-          .toArray(Array.empty[String]).map(_.trim).filter(_.nonEmpty).toSet
+      if (Ctl.exists(conf, failedListPath))
+        Ctl.readLines(conf, failedListPath).map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
     val pending = work.filter(w => prevFailed.contains(w.name) || !loadedOk.contains(w.name))
     val (retry, fresh) = pending.partition(w => prevFailed.contains(w.name))
     val results = (retry ++ fresh).map(loadOne)
-    java.nio.file.Files.writeString(failedListPath,
+    Ctl.write(conf, failedListPath,
       results.filterNot(_.ok).map(_.tableName).mkString("", "\n", "\n"))
     results
   }

@@ -70,11 +70,14 @@ object Dedup {
     val spark = sh.sparkSession
     import spark.implicits._
     val rnd = new scala.util.Random(0x9e3779b9L)
-    val perms = (0 until numPerm).map { p =>
-      (p, rnd.nextLong(1L << 31).max(1L), rnd.nextLong(1L << 31).max(1L),
-        rnd.nextLong(1L << 31))
-    }.toDF("perm", "pa", "pb", "pc")
     val prime = 2147483647L // 2^31 - 1
+    // pa/pb drawn from [1, prime): a draw equal to the modulus prime would
+    // vanish mod p and degenerate that permutation to a function of one
+    // 30-bit half of the base hash; pc from [0, prime)
+    val perms = (0 until numPerm).map { p =>
+      (p, rnd.nextLong(prime - 1) + 1, rnd.nextLong(prime - 1) + 1,
+        rnd.nextLong(prime))
+    }.toDF("perm", "pa", "pb", "pc")
     sh.repartition(col("id"))
       .select(col("id"), Portable.hash60(col("s")).as("h"))
       .select(col("id"), (col("h") % (1L << 30)).as("lo"),

@@ -17,8 +17,10 @@ object TopK {
     * lexicographically in the `descending` direction — so for a
     * "highest-first with lowest-id tiebreak" top-k pass the NEGATED id
     * (`-col("id")`): struct-desc of (price, -id) = price DESC, id ASC.
-    * Tiebreak mode assumes a non-null ordCol (a null field would rank via
-    * struct field order, not the scalar nulls-last rule above). */
+    * A nullable ordCol keeps the scalar nulls-last rule in tiebreak mode
+    * too: the struct is prefixed with a null flag oriented so null-ord rows
+    * rank worst in EITHER direction (struct field order would otherwise
+    * rank them by engine-internal null placement). */
   def perKey(df: DataFrame, keyCols: Seq[String], ordCol: String, k: Int,
       descending: Boolean = true,
       tiebreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
@@ -27,7 +29,14 @@ object TopK {
     ensureStrategy(spark)
     val src =
       if (tiebreak.isEmpty) df
-      else df.withColumn("__graft_ord", struct(col(ordCol) +: tiebreak: _*))
+      else {
+        // nulls-last in both directions: descending compares the flag 1>0 so
+        // non-null (isNotNull=1) wins; ascending compares 0<1 so non-null
+        // (isNull=0) wins. Within the null group the ord fields are all null
+        // (equal) and the tiebreak decides deterministically.
+        val flag = if (descending) col(ordCol).isNotNull else col(ordCol).isNull
+        df.withColumn("__graft_ord", struct(flag +: col(ordCol) +: tiebreak: _*))
+      }
     val ordName = if (tiebreak.isEmpty) ordCol else "__graft_ord"
     val analyzed = src.queryExecution.analyzed
     def attr(name: String) = analyzed.output.find(_.name == name)

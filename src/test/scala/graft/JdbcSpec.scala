@@ -86,7 +86,8 @@ class JdbcSpec extends SparkTestBase {
         val f = l.split(','); s"${f(0)},${f(1)},${f(2).toLong + 3}"
       } else l
     }
-    Files.writeString(ctl, doctored.mkString("", "\n", "\n"))
+    graft.core.Ctl.write(spark.sparkContext.hadoopConfiguration, ctl.toString,
+      doctored.mkString("", "\n", "\n"))
     Files.delete(Paths.get(s"$out/HDL_LoadedTables.out"))
     val err = intercept[IllegalArgumentException](
       graft.cli.Main.fullLoadJdbc(spark, out, liveUrl))

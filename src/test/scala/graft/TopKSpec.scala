@@ -104,6 +104,30 @@ class TopKSpec extends SparkTestBase {
       ("b", 20L, 7.0), ("b", 21L, 7.0), ("b", 22L, 9.0)))
   }
 
+  test("tiebreak mode keeps nulls-last for a NULLABLE ord column, both directions") {
+    import spark.implicits._
+    // group "a": two non-null dups (tiebroken) + a null; group "b": nulls
+    // outnumber non-nulls so a null row must fill the k-quota LAST
+    val df = Seq(
+      ("a", Some(5.0), 1L), ("a", Some(5.0), 2L), ("a", None, 3L),
+      ("b", Some(1.0), 4L), ("b", None, 5L), ("b", None, 6L))
+      .toDF("key", "ord", "id")
+      .select(col("key"), col("ord").cast("double").as("ord"), col("id"))
+    def got(desc0: Boolean) = TopK.perKey(df, Seq("key"), "ord", k = 2,
+        descending = desc0, tiebreak = Seq(-col("id")))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // desc: a keeps the 5.0 dups (ids 1,2 — null id-3 excluded); b keeps
+    // its lone non-null then the LOWEST-id null via the -id tiebreak
+    assert(got(true) == Seq(("a", Some(5.0), 1L), ("a", Some(5.0), 2L),
+      ("b", Some(1.0), 4L), ("b", None, 5L)), s"desc: ${got(true)}")
+    // asc: nulls still last; the -id tiebreak now reads ascending, so the
+    // HIGHEST id null (6) fills b's quota — direction applies to the whole
+    // struct, tiebreak included
+    assert(got(false) == Seq(("a", Some(5.0), 1L), ("a", Some(5.0), 2L),
+      ("b", Some(1.0), 4L), ("b", None, 6L)), s"asc: ${got(false)}")
+  }
+
   test("k larger than group size returns whole groups") {
     val nation = Tables.load(spark, sfDir, "nation")
       .select(col("n_regionkey"), col("n_nationkey").cast("double").as("v"))

@@ -130,7 +130,10 @@ class TransferCliSpec extends SparkTestBase {
         val f = l.split(','); s"${f(0)},${f(1)},${f(2).toLong + 7}"
       } else l
     }
-    Files.writeString(ctl, doctored.mkString("", "\n", "\n"))
+    // rewrite through the control-file layer so its checksum stays valid —
+    // the scenario is "plausible control file, wrong count", not bit rot
+    graft.core.Ctl.write(spark.sparkContext.hadoopConfiguration, ctl.toString,
+      doctored.mkString("", "\n", "\n"))
     Files.delete(Paths.get(s"$out/HDL_LoadedTables.out")) // force full reload
     val err = intercept[IllegalArgumentException](graft.cli.Main.fullLoad(spark, out))
     assert(err.getMessage.contains("load verification failed"))
@@ -307,7 +310,7 @@ class TransferCliSpec extends SparkTestBase {
   test("load retries failed tables FIRST on resume (load_schema_and_data.py:854-874)") {
     import graft.load.Loader
     val base = Files.createTempDirectory("graft_retry").toString
-    val failedList = Paths.get(s"$base/HDL_FailedTables.out")
+    val failedList = s"$base/HDL_FailedTables.out"
     def work(badExpected: Boolean) = Seq("nation", "region", "supplier").map { n =>
       Loader.LoadWork(n,
         () => graft.core.Tables.load(spark, sfDir, n),
@@ -319,13 +322,13 @@ class TransferCliSpec extends SparkTestBase {
     // run 1: region fails verification → recorded in the failed set
     val r1 = Loader.loadAll(work(badExpected = true), s"$base/wh", failedList)
     assert(r1.count(_.ok) == 2 && !r1.find(_.tableName == "region").get.ok)
-    assert(Files.readString(failedList).trim == "region")
+    assert(Files.readString(Paths.get(failedList)).trim == "region")
     // run 2: region must be retried BEFORE fresh work, then succeed
     val okNames = r1.filter(_.ok).map(_.tableName).toSet
     val r2 = Loader.loadAll(work(badExpected = false), s"$base/wh", failedList, okNames)
     assert(r2.head.tableName == "region", s"failed table not retried first: $r2")
     assert(r2.forall(_.ok) && r2.map(_.tableName) == Seq("region"))
-    assert(Files.readString(failedList).trim.isEmpty)
+    assert(Files.readString(Paths.get(failedList)).trim.isEmpty)
     // final reconciliation invariant: everything loaded
     import spark.implicits._
     val extracted = Seq("nation", "region", "supplier").toDF("t")
