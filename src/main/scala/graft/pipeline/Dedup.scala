@@ -47,59 +47,68 @@ object Dedup {
     fp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
 
-  /** (id, perm, minhash) — the standard minwise-hashing construction: ONE
+  /** Per-permutation linear-hash constants: fixed-seed draws so signatures
+    * are deterministic across runs and engines. pa/pb from [1, prime): a
+    * draw equal to the modulus prime would vanish mod p and degenerate that
+    * permutation to a function of one 30-bit half of the base hash; pc from
+    * [0, prime). */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private def permConstants(numPerm: Int): Seq[(Int, Long, Long, Long)] = {
+    val rnd = new scala.util.Random(0x9e3779b9L)
+    (0 until numPerm).map { p =>
+      (p, rnd.nextLong(MinhashPrime - 1) + 1, rnd.nextLong(MinhashPrime - 1) + 1,
+        rnd.nextLong(MinhashPrime))
+    }
+  }
+
+  /** (id, mh0..mh{n-1}) — the standard minwise-hashing construction: ONE
     * base md5 per shingle, then `numPerm` values from a per-permutation
     * 2-universal linear hash `(a·hi + b·lo + c) mod (2³¹−1)` over the base
     * hash's two 30-bit halves (products stay < 2⁶¹ — no Long overflow).
-    * The old form ran md5 per (perm, shingle) — 64× the hashing for no
-    * statistical gain; banding recall is unaffected (random linear
-    * families are the textbook minhash permutations, and the verify stage
-    * is exact either way — the oracle gates compare the VERIFIED pair set,
-    * pinned at two data tiers). Constants come from a fixed-seed LCG, so
-    * signatures are deterministic across runs and engines.
+    * Random linear families are the textbook minhash permutations, and the
+    * verify stage is exact either way — the oracle gates compare the
+    * VERIFIED pair set, pinned at the data tiers.
+    *
+    * Physical form: the whole signature is `numPerm` parallel `min(...)`
+    * AGGREGATE expressions over literal coefficients — straight-line
+    * codegen'd arithmetic, no per-permutation row blow-up. The round-5
+    * shape crossJoined each shingle against a 64-row permutation table, so
+    * 64× the shingle rows ran through projection and partial aggregation
+    * and a second pivot pass reassembled the bands; this computes the same
+    * 64 mins in one pass over the shingle rows and the exchange carries one
+    * 64-column row per id.
     *
     * The shingle table is hash-repartitioned by id FIRST: a small local
-    * parquet read arrives as one partition, and everything until the first
-    * exchange — base hashing plus the ×numPerm arithmetic blow-up — would
-    * otherwise run on one core. Partitioning by id also satisfies every
-    * downstream (id, …) grouping (id is a subset of each clustering key),
-    * so the repartition replaces the aggregation's exchange instead of
-    * adding one: still exactly one shuffle, carrying the shingle table
-    * (smaller than the post-blow-up partials at real scale). */
-  private def minhashes(sh: DataFrame, numPerm: Int): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val rnd = new scala.util.Random(0x9e3779b9L)
-    val prime = 2147483647L // 2^31 - 1
-    // pa/pb drawn from [1, prime): a draw equal to the modulus prime would
-    // vanish mod p and degenerate that permutation to a function of one
-    // 30-bit half of the base hash; pc from [0, prime)
-    val perms = (0 until numPerm).map { p =>
-      (p, rnd.nextLong(prime - 1) + 1, rnd.nextLong(prime - 1) + 1,
-        rnd.nextLong(prime))
-    }.toDF("perm", "pa", "pb", "pc")
+    * parquet read arrives as one partition, and the base hashing plus the
+    * ×numPerm arithmetic would otherwise run on one core. Partitioning by
+    * id satisfies the groupBy(id) exactly, so the repartition replaces the
+    * aggregation's exchange instead of adding one. */
+  private def minhashWide(sh: DataFrame, numPerm: Int): DataFrame = {
+    val aggs = permConstants(numPerm).map { case (p, pa, pb, pc) =>
+      min((lit(pa) * col("hi") + lit(pb) * col("lo") + lit(pc)) % MinhashPrime)
+        .as(s"mh$p")
+    }
     sh.repartition(col("id"))
       .select(col("id"), Portable.hash60(col("s")).as("h"))
       .select(col("id"), (col("h") % (1L << 30)).as("lo"),
         shiftright(col("h"), 30).as("hi"))
-      .crossJoin(broadcast(perms))
-      .select(col("id"), col("perm"),
-        ((col("pa") * col("hi") + col("pb") * col("lo") + col("pc")) % prime).as("h"))
-      .groupBy("id", "perm").agg(min("h").as("mh"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (id, band, sig): per-band signature string, deterministic in perm order. */
+  /** (id, band, sig): per-band signature string, deterministic in perm
+    * order — band b concatenates mh{b·r}..mh{b·r+r-1} from the wide
+    * signature row (a projection + explode, no extra aggregation). */
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 64, rowsPerBand: Int = 2): DataFrame = {
     val sh = TextOps.shingleTable(docs, idCol, textCol)
-    val mh = minhashes(sh, numPerm)
-    mh.withColumn("band", (col("perm") / rowsPerBand).cast("int"))
-      .withColumn("slot", col("perm") % rowsPerBand)
-      .groupBy("id", "band")
-      .pivot("slot", 0 until rowsPerBand)
-      .agg(first("mh"))
-      .select(col("id"), col("band"),
-        concat_ws(":", (0 until rowsPerBand).map(i => col(i.toString)): _*).as("sig"))
+    val wide = minhashWide(sh, numPerm)
+    val bands = (0 until numPerm / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until rowsPerBand)
+          .map(s => col(s"mh${b * rowsPerBand + s}")): _*).as("sig"))
+    }
+    wide.select(col("id"), explode(array(bands: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** Near-duplicate pairs at `threshold` Jaccard over word-`n`-gram shingles:
@@ -108,7 +117,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numPerm: Int = 64, rowsPerBand: Int = 2,
       shingleN: Int = 3): DataFrame = {
+    // materialize the bucket table once: the self-join consumes it twice
+    // and would otherwise recompute the whole shingle->signature subtree
+    // per side (and estimate its size blind, scattering one-off broadcast
+    // jobs). One computation, accurate stats, both sides read the blocks.
     val b = minhashBuckets(docs, idCol, textCol, numPerm, rowsPerBand)
+      .localCheckpoint()
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
