@@ -125,7 +125,11 @@ object Main {
   def onlyDataJdbc(spark: org.apache.spark.sql.SparkSession,
       url: String, out: String, batchCapBytes: Long = 0L): Unit =
     onlyDataFrom(spark, out, batchCapBytes, jdbcWorkItems(spark, url),
-      n => graft.sources.Jdbc.read(spark, url, n))
+      // range-partitioned parallel connections per table where an integral
+      // key exists — a one-connection funnel is the thing that does NOT
+      // survive a large table leaving a server
+      n => graft.sources.Jdbc.readAuto(spark, url, n,
+        numPartitions = spark.sparkContext.defaultParallelism.min(32)))
 
   /** Live-catalog inventory: table list from JDBC metadata, row counts and
     * declared sizes through one JDBC-backed count per table (the same

@@ -54,6 +54,41 @@ object Jdbc {
     spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions, props())
   }
 
+  /** Pushed-down [min, max] bounds of one column — a single-row remote
+    * aggregate (issued as a derived-table query, so the server computes it;
+    * a v1 DataFrame min/max would pull every row instead). */
+  def bounds(spark: SparkSession, url: String, table: String,
+      column: String): Option[(Long, Long)] = {
+    quietDerby
+    // quote the column: Spark's JDBC writer creates case-preserved quoted
+    // identifiers, so an unquoted reference would case-fold past them
+    val r = spark.read.jdbc(url,
+      s"""(SELECT MIN("$column") AS lo, MAX("$column") AS hi FROM $table) bounds_q""",
+      props()).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else Some((r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+  }
+
+  /** Live-mode read that SCALES when it can: picks the table's first
+    * integral column as the partition key, fetches its pushed-down bounds,
+    * and opens `numPartitions` range-partitioned connections — the form a
+    * large table actually leaves a server by. Falls back to the
+    * one-connection read when no integral column exists or the table is
+    * empty/constant-keyed. */
+  def readAuto(spark: SparkSession, url: String, table: String,
+      numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val plain = read(spark, url, table)
+    val partCol = plain.schema.fields.collectFirst {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) => f.name
+    }
+    partCol.flatMap(c => bounds(spark, url, table, c).map((c, _))) match {
+      case Some((c, (lo, hi))) if hi > lo =>
+        readPartitioned(spark, url, table, c, lo, hi, numPartitions)
+      case _ => plain
+    }
+  }
+
   /** Live-mode load (C5's write half): append/overwrite into a server table.
     * Overwrite maps to the reference's drop-and-reload
     * (load_schema_and_data.py:295-299). */

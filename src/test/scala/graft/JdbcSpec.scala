@@ -46,6 +46,26 @@ class JdbcSpec extends SparkTestBase {
     assert(Jdbc.read(spark, url, "nation_modes").count() == nation.count())
   }
 
+  test("readAuto opens range partitions on the first integral key, falls back when none") {
+    import spark.implicits._
+    val nation = Tables.load(spark, sfDir, "nation")
+    Jdbc.write(nation, url, "nation_auto")
+    val auto = Jdbc.readAuto(spark, url, "nation_auto", numPartitions = 6)
+    assert(auto.rdd.getNumPartitions == 6, "integral key not range-partitioned")
+    assert(auto.orderBy("n_nationkey").collect()
+        .map(_.getAs[Number]("n_nationkey").longValue()).toSeq ==
+      nation.orderBy("n_nationkey").collect()
+        .map(_.getAs[Number]("n_nationkey").longValue()).toSeq)
+    // no integral column -> one-connection fallback, same rows
+    Jdbc.write(nation.select(col("n_name")), url, "nation_noint")
+    val fb = Jdbc.readAuto(spark, url, "nation_noint", numPartitions = 6)
+    assert(fb.rdd.getNumPartitions == 1)
+    assert(fb.count() == nation.count())
+    // empty table -> bounds are null -> fallback, not a crash
+    Jdbc.write(nation.filter(lit(false)), url, "nation_empty")
+    assert(Jdbc.readAuto(spark, url, "nation_empty", numPartitions = 4).count() == 0)
+  }
+
   test("live-JDBC CLI mode: catalog-driven extract and load back end-to-end") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
