@@ -131,17 +131,18 @@ object Main {
       n => graft.sources.Jdbc.readAuto(spark, url, n,
         numPartitions = spark.sparkContext.defaultParallelism.min(32)))
 
-  /** Live-catalog inventory: table list from JDBC metadata, row counts and
-    * declared sizes through one JDBC-backed count per table (the same
-    * per-table census shape as the parquet catalog — one row per TABLE, so
-    * driver-side assembly is catalog-sized, never data-sized). */
+  /** Live-catalog inventory: table list from JDBC metadata, row counts
+    * through a PUSHED-DOWN server-side COUNT(*) per table (the v1 relation
+    * would otherwise drag every row over the connection to count it),
+    * declared sizes from the schema widths. One row per TABLE — driver-side
+    * assembly stays catalog-sized, never data-sized. */
   def jdbcWorkItems(spark: org.apache.spark.sql.SparkSession,
       url: String): Seq[Extract.WorkItem] =
     graft.sources.Jdbc.listTables(url).sorted.zipWithIndex.map { case (n, i) =>
-      val df = graft.sources.Jdbc.read(spark, url, n)
-      val cnt = df.count()
+      val schema = graft.sources.Jdbc.read(spark, url, n).schema
+      val cnt = graft.sources.Jdbc.count(spark, url, n)
       Extract.WorkItem(n.toLowerCase, cnt,
-        cnt * Catalog.rowWidth(df.schema), 2000 + i)
+        cnt * Catalog.rowWidth(schema), 2000 + i)
     }
 
   private def onlyDataFrom(spark: org.apache.spark.sql.SparkSession,

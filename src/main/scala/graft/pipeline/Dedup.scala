@@ -131,33 +131,34 @@ object Dedup {
     verifyJaccard(docs, idCol, textCol, cand, threshold, shingleN)
   }
 
-  /** Exact Jaccard for given candidate pairs via the shingle inverted index.
-    *
-    * The shingle table is semi-joined to the candidate ids FIRST, so the
-    * inverted-index self-join runs over candidate documents only — the whole
-    * point of LSH. Without the pruning this pays the full all-pairs
-    * co-shingle cost LSH exists to avoid; with it, the verify stage is
-    * linear in the candidate set (at 100 TB: millions of candidate docs, not
-    * the entire corpus). Pruning whole docs keeps per-doc shingle counts
-    * exact, so the Jaccard values are unchanged. */
+  /** Exact Jaccard for given candidate pairs, PER PAIR: each candidate id
+    * pulls its doc's (distinct) shingle set through an equi-join and the
+    * overlap is `size(array_intersect(...))` — work linear in
+    * |candidates| × doc size. The earlier inverted-index form self-joined
+    * the shingle tables of all candidate DOCUMENTS on the shingle value,
+    * which computes co-occurrence for every doc pair sharing any hot
+    * shingle — quadratic in candidate docs regardless of how short the
+    * candidate PAIR list is (measured: ~13 s of d4's 15 s at sf0.1). The
+    * shingle table is still semi-joined to candidate ids first so only
+    * candidate docs are collected. */
   private def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
       cand: DataFrame, threshold: Double, shingleN: Int): DataFrame = {
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id")))
       .distinct()
-    val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+    val docSets = TextOps.shingleTable(docs, idCol, textCol, shingleN)
       .join(candIds, Seq("id"), "left_semi")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-    cand.join(inter, Seq("id_a", "id_b"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), Seq("id_b"))
-      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 4))
+      .groupBy("id")
+      .agg(collect_list(col("s")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(docSets.select(col("id").as("id_a"), col("set").as("sa"), col("n").as("na")),
+        Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("set").as("sb"), col("n").as("nb")),
+        Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("c") / (col("na") + col("nb") - col("c")) >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"),
+        round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
   }
 
   /** Exact n-gram-Jaccard pairs ≥ threshold (no LSH), with PREFIX-FILTERED
@@ -180,21 +181,54 @@ object Dedup {
     * SHORTEN the prefix and drop a pair sitting exactly at the threshold;
     * `ceil(t·n − 1e-9)` keeps the bound safe: the epsilon is far above
     * double rounding error and far below 1/n for any real doc size, and a
-    * too-SMALL ceil only lengthens the prefix, which never loses pairs.) */
+    * too-SMALL ceil only lengthens the prefix, which never loses pairs.)
+    *
+    * Measured cost regime (sf0.1, 5000 docs, 2-grams, t=0.5): prefixes are
+    * half of each doc, so hot shingles DO enter the join — 16.5M raw prefix
+    * matches, 3.5M candidates after the length + positional filters, for
+    * 256 true pairs. Exact MID-threshold text similarity on a
+    * dense-vocabulary corpus is near-quadratic whatever the filter stack
+    * (the same physics as the loose-threshold embedding gate — see
+    * Similarity.exactCosinePairs); prefix filtering pays off steeply as t
+    * rises (prefix length (1−t)·n + 1, positional bound t/(1+t)·(na+nb)).
+    * Everything downstream is linear in candidates: the pair-wise
+    * set-intersection verify replaced a co-shingle self-join that was
+    * quadratic in candidate DOCS (13 of d4's 15 s). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix carries each doc's shingle count so the join can apply the
+    // LENGTH filter (J >= t forces t·max(na,nb) <= min(na,nb) — Bayardo et
+    // al.'s size condition): size-mismatched pairs never become candidates.
+    // localCheckpoint: the self-join consumes the prefix twice, and the
+    // subtree above it (two aggregations + a per-doc window sort) would
+    // otherwise run once per side with blind size estimates (same lesson
+    // as the minhash bucket table).
     val prefix = sh.join(docFreq, Seq("s"))
       .withColumn("rank",
         row_number().over(Window.partitionBy("id").orderBy("df", "s")))
       .join(sizes, Seq("id"))
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
-      .select("id", "s")
+      .select("id", "s", "n", "rank")
+      .localCheckpoint()
+    // positional filter (PPJoin, Xiao et al. WWW'08): a match on shingle s
+    // at ranks (ra, rb) bounds the overlap by 1 + min(na-ra, nb-rb); a pair
+    // whose bound can't reach the required minimum overlap
+    // ceil(t/(1+t)·(na+nb)) is pruned. Exact: for the pair's FIRST common
+    // prefix shingle no common element precedes it (it would be an earlier
+    // prefix match), so the bound holds — and keeping a pair if ANY of its
+    // matches passes only widens the kept set.
+    val minOverlap =
+      ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")) >=
+            lit(threshold) * greatest(col("a.n"), col("b.n")) &&
+          lit(1) + least(col("a.n") - col("a.rank"), col("b.n") - col("b.rank")) >=
+            minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(docs, idCol, textCol, cand, threshold, shingleN)

@@ -14,15 +14,19 @@ import graft.functions.Portable.{dsum, sqlDsum}
 object Headline {
 
   /** Names of the queries Bench times: the six TPC-H headliners plus the
-    * wider shapes (deep join tree q9, anti/semi stack q21) and the
-    * pipeline/operator paths (MinHash LSH, range join, as-of join) so a
-    * run-noise swing on any one family is attributable. */
+    * wider shapes (deep join tree q9, anti/semi stack q21) and one
+    * representative per pipeline/operator family — exact dedup, MinHash
+    * LSH, AllPairs Jaccard, loose- and tight-threshold embedding near-dup,
+    * IVF probe, TF-IDF, windowed agg, TopKPerKey, range join, as-of
+    * join — so a run-noise swing on any one family is attributable. */
   val benchNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_revenue",
     "q6_forecast_revenue", "q9_profit_by_nation", "q10_returned_items",
     "q18_large_orders", "q21_sole_blame",
-    "d2_minhash_lsh", "d5_embedding_near_dup", "d8_near_dup_tight",
-    "sim2_ivf_knn", "rj1_range_join", "aj1_asof_join")
+    "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
+    "d5_embedding_near_dup", "d8_near_dup_tight", "sim2_ivf_knn",
+    "t5_tfidf", "st1_tumbling_window", "w5_topk_per_key",
+    "rj1_range_join", "aj1_asof_join")
 
   private val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 

@@ -54,6 +54,15 @@ object Jdbc {
     spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions, props())
   }
 
+  /** Pushed-down COUNT(*) — the v1 JDBC relation does not push aggregates,
+    * so a DataFrame count() would drag every row across the connection;
+    * this makes the server do it and ships one number. */
+  def count(spark: SparkSession, url: String, table: String): Long = {
+    quietDerby
+    spark.read.jdbc(url, s"(SELECT COUNT(*) AS n FROM $table) count_q", props())
+      .head().getAs[Number](0).longValue()
+  }
+
   /** Pushed-down [min, max] bounds of one column — a single-row remote
     * aggregate (issued as a derived-table query, so the server computes it;
     * a v1 DataFrame min/max would pull every row instead). */
