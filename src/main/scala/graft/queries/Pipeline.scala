@@ -111,11 +111,19 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // Exact AllPairs Jaccard, gated in the regime prefix filtering is FOR:
+    // 3-gram shingles at t=0.7, where prefixes are short and rare-first
+    // ordering keeps hot shingles out of the join (a strict superset of
+    // d2's >=0.8 pair set, so the result is never trivially empty). The
+    // mid-threshold regime (2-grams, t=0.5 — near-quadratic whatever the
+    // filter stack; see Dedup.ngramJaccardPairs' measured cost note) stays
+    // exactness-proven by PipelineSpec at t in {0.3, 0.5, 0.8} on a
+    // deliberately hot-shingled corpus.
     QueryDef(
       "d4_ngram_jaccard",
-      jaccardOracle(n = 2, threshold = 0.5)) { (s, dir) =>
+      jaccardOracle(n = 3, threshold = 0.7)) { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.5, shingleN = 2)
+          threshold = 0.7, shingleN = 3)
         .orderBy("id_a", "id_b")
     },
 
