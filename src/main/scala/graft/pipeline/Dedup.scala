@@ -88,8 +88,9 @@ object Dedup {
       min((lit(pa) * col("hi") + lit(pb) * col("lo") + lit(pc)) % MinhashPrime)
         .as(s"mh$p")
     }
-    sh.repartition(col("id"))
-      .select(col("id"), Portable.hash60(col("s")).as("h"))
+    // callers hand sh already spread by id (see minhashBuckets /
+    // minhashLshPairs), which satisfies the groupBy(id) without an exchange
+    sh.select(col("id"), Portable.hash60(col("s")).as("h"))
       .select(col("id"), (col("h") % (1L << 30)).as("lo"),
         shiftright(col("h"), 30).as("hi"))
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -99,8 +100,12 @@ object Dedup {
     * order — band b concatenates mh{b·r}..mh{b·r+r-1} from the wide
     * signature row (a projection + explode, no extra aggregation). */
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-      numPerm: Int = 64, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextOps.shingleTable(docs, idCol, textCol)
+      numPerm: Int = 64, rowsPerBand: Int = 2): DataFrame =
+    bucketsOfShingles(
+      TextOps.shingleTable(docs, idCol, textCol).repartition(col("id")),
+      numPerm, rowsPerBand)
+
+  private def bucketsOfShingles(sh: DataFrame, numPerm: Int, rowsPerBand: Int): DataFrame = {
     val wide = minhashWide(sh, numPerm)
     val bands = (0 until numPerm / rowsPerBand).map { b =>
       struct(lit(b).as("band"),
@@ -117,18 +122,23 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numPerm: Int = 64, rowsPerBand: Int = 2,
       shingleN: Int = 3): DataFrame = {
+    // the shingle table feeds BOTH the signature build and the verify —
+    // materialize it once (tokenize + explode + distinct is the most
+    // expensive projection in the pipeline), spread by id so the
+    // materialized blocks aren't one partition from the single-file read
+    val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+      .repartition(col("id")).localCheckpoint()
     // materialize the bucket table once: the self-join consumes it twice
     // and would otherwise recompute the whole shingle->signature subtree
     // per side (and estimate its size blind, scattering one-off broadcast
     // jobs). One computation, accurate stats, both sides read the blocks.
-    val b = minhashBuckets(docs, idCol, textCol, numPerm, rowsPerBand)
-      .localCheckpoint()
+    val b = bucketsOfShingles(sh, numPerm, rowsPerBand).localCheckpoint()
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    verifyJaccard(docs, idCol, textCol, cand, threshold, shingleN)
+    verifyJaccard(sh, cand, threshold)
   }
 
   /** Exact Jaccard for given candidate pairs, PER PAIR: each candidate id
@@ -140,13 +150,14 @@ object Dedup {
     * shingle — quadratic in candidate docs regardless of how short the
     * candidate PAIR list is (measured: ~13 s of d4's 15 s at sf0.1). The
     * shingle table is still semi-joined to candidate ids first so only
-    * candidate docs are collected. */
-  private def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
-      cand: DataFrame, threshold: Double, shingleN: Int): DataFrame = {
+    * candidate docs are collected; callers pass their (checkpointed)
+    * shingle table so it is never computed twice per query. */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id")))
       .distinct()
-    val docSets = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+    val docSets = sh
       .join(candIds, Seq("id"), "left_semi")
       .groupBy("id")
       .agg(collect_list(col("s")).as("set"), count(lit(1)).as("n"))
@@ -197,7 +208,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one shingle table for the prefix build AND the verify (see
+    // minhashLshPairs); repartition by id up front so the tokenize/explode
+    // work is spread before materialization
     val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+      .repartition(col("id")).localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix carries each doc's shingle count so the join can apply the
@@ -231,7 +246,7 @@ object Dedup {
             minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(docs, idCol, textCol, cand, threshold, shingleN)
+    verifyJaccard(sh, cand, threshold)
   }
 
   /** 32-bit SimHash signature per document (term-frequency weighted: every
