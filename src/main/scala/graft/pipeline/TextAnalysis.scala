@@ -61,6 +61,49 @@ object TextAnalysis {
             least(col("stopword_ratio") * 5.0, lit(0.3)) +
             (lit(0.2) - least(col("non_alnum_ratio") * 2.0, lit(0.2)))), 4))
 
+  /** Repetition signals per document (the Gopher/C4 family of quality
+    * filters — Rae et al. 2021 §A1.1, public): duplicated-word fraction and
+    * the fraction of bigram slots taken by the single most frequent bigram.
+    * The corpus here has no line structure, so the word/n-gram measures are
+    * the meaningful subset; all arithmetic is exact integer counting until
+    * the final rounded ratios.
+    *
+    * Scale shape: the bigram mode needs a per-(doc, gram) count — one
+    * shuffle on (id, gram) with map-side partial aggregation, then a
+    * struct-max per doc; nothing driver-side and no window over the raw
+    * gram stream. */
+  def repetitionFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("w"))
+    val base = tok.select(
+      col("id"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct_words"))
+    val top = tok
+      .select(col("id"), explode(TextOps.gramsOfTokens(col("w"), 2)).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_bigram_n"))
+    base.join(top, Seq("id"), "left_outer")
+      .select(
+        col("id").as(idCol),
+        col("n_words"),
+        round(lit(1.0) - col("n_distinct_words") / col("n_words"), 4)
+          .as("dup_word_frac"),
+        round(coalesce(col("top_bigram_n"), lit(0L)) /
+          greatest(col("n_words") - 1, lit(1L)), 4).as("top_bigram_frac"))
+  }
+
+  /** Corpus-wide n-gram census: the `limit` most frequent word n-grams with
+    * occurrence counts — the boilerplate/repeated-passage detector (the
+    * census that seeds "remove documents dominated by the corpus's hottest
+    * passages" filters). One shuffle on the gram with map-side combine; the
+    * top-`limit` is a TakeOrdered, never a global sort. */
+  def ngramCensus(docs: DataFrame, textCol: String, n: Int, limit: Int): DataFrame =
+    docs.select(TextOps.tokens(col(textCol)).as("w"))
+      .select(explode(TextOps.gramsOfTokens(col("w"), n)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("s"))
+      .limit(limit)
+
   /** Token counts: whitespace tokens and BPE-ish sub-tokens
     * (letter runs / digit runs / single symbols). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -30,6 +30,19 @@ object TextOps {
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
 
+  /** ALL word n-grams of a token-ARRAY column, one per position — NOT
+    * deduplicated (unlike [[shinglesOfTokens]]): repetition measures and
+    * frequency censuses need every occurrence to count. Same
+    * bind-the-token-array-first caveat as [[shinglesOfTokens]].
+    * DuckDB: list_transform(generate_series(1, greatest(len(w)-(n-1), 0)),
+    * i -> w[i]||' '||…). */
+  def gramsOfTokens(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    when(size(toks) >= n, grams).otherwise(array())
+  }
+
   /** Distinct word n-gram shingles of a text column.
     * DuckDB: list_transform(generate_series(1, len(w)-(n-1)), i -> w[i]||' '||…).
     * (Single-column convenience — inside operators prefer the two-step

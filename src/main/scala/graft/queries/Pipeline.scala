@@ -435,6 +435,38 @@ object Pipeline {
         .orderBy("split")
     },
 
+    // t8: Gopher-style repetition filters — duplicated-word fraction and
+    // most-frequent-bigram share per document (exact integer counting,
+    // rounded ratios; the word/bigram subset of Rae et al. 2021 §A1.1 that
+    // is meaningful on a corpus without line structure).
+    QueryDef(
+      "t8_repetition",
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+        |                             i -> w[i] || ' ' || w[i+1])) AS g FROM tok),
+        |top AS (SELECT doc_id, max(c) AS top_bigram_n
+        |        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT t.doc_id, len(w) AS n_words,
+        |  round(1.0 - len(list_distinct(w)) / len(w), 4) AS dup_word_frac,
+        |  round(coalesce(top_bigram_n, 0) / greatest(len(w) - 1, 1), 4) AS top_bigram_frac
+        |FROM tok t LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionFeatures(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // t9: corpus-wide hottest-5-gram census — the boilerplate detector.
+    // Deterministic top-20: count desc, gram asc.
+    QueryDef(
+      "t9_ngram_census",
+      """WITH tok AS (SELECT regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+        |g AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w)-4, 0)),
+        |             i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS s FROM tok)
+        |SELECT s, count(*) AS n FROM g GROUP BY s
+        |ORDER BY n DESC, s LIMIT 20""".stripMargin) { (s, dir) =>
+      TextAnalysis.ngramCensus(Tables.load(s, dir, "documents"), "text", n = 5, limit = 20)
+    },
+
     // cur1: the composed curation pipeline — language gate, quality gate,
     // near-dup drop (pairwise-dominated rule: a doc is dropped when it is
     // the larger id of any >=0.8 pair), the shape of a real corpus build.
