@@ -40,6 +40,21 @@ object Bench {
       }
       name -> times
     }
+    // per-query physical-plan fingerprint: md5 of the CANONICALIZED plan
+    // (expression-id-free), so plan drift across rounds is
+    // machine-attributable — an unchanged plan_sha with a changed time is
+    // environment; a changed plan_sha is a real plan change. Planning only,
+    // no execution.
+    val planSha = queries.Headline.benchNames.map { name =>
+      val sha = try {
+        val plan = fns(name)(spark, sfDir).queryExecution.executedPlan
+          .canonicalized.toString
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(6).map(b => f"$b%02x").mkString
+      } catch { case _: Throwable => "error" }
+      "\"" + name + "\":\"" + sha + "\""
+    }.mkString("{", ",", "}")
     // headline stays min-of-reps; rep_times persists EVERY rep so a
     // round-over-round swing is attributable (did the reps agree, or did
     // one environmental outlier poison the min?) — the r04→r05 q3/q5 jump
@@ -53,7 +68,7 @@ object Bench {
     val total = results.filter(_._2.nonEmpty).map(_._2.min).sum
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repTimes,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repTimes,"plan_sha":$planSha,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

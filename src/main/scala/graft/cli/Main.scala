@@ -41,10 +41,14 @@ object Main {
       args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(default)
     val sfDir = opt("--sfdir", "/root/testdata/sf0.001")
     val out = opt("--out", Files.createTempDirectory("graft_run").toString)
-    Ctl.mkdirs(new org.apache.hadoop.conf.Configuration(), out)
 
     val spark = Engine.session("graft-cli")
     spark.sparkContext.setLogLevel("WARN")
+    // the out dir is created through the SESSION's Hadoop configuration so
+    // spark.hadoop.* settings (object-store credentials and the like) apply
+    // to this mkdirs the same as to every later control-file write — a bare
+    // new Configuration() would fail on an s3a:// out dir at the first step
+    Ctl.mkdirs(spark.sparkContext.hadoopConfiguration, out)
     // batch size arrives in GB like the reference's Batch_Size_GB and goes
     // through the same config validation (0 = batching off, else >= 100)
     val batchGb = opt("--batchsize", "0").toInt
@@ -55,7 +59,7 @@ object Main {
     val jdbc = opt("--jdbc", "")
     val capBytes = cfg.batchSizeGb.toLong << 30
     try phases.head match {
-      case "--premigration" => premigration(spark, sfDir, out)
+      case "--premigration" => premigration(spark, sfDir, out, jdbc)
       case "--onlyschema" => onlySchema(spark, out)
       case "--onlydata" =>
         if (jdbc.nonEmpty) onlyDataJdbc(spark, jdbc, out, capBytes)
@@ -69,16 +73,20 @@ object Main {
   }
 
   def premigration(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, out: String): Unit = {
+      sfDir: String, out: String, jdbc: String = ""): Unit = {
     // environment gates first (migration.py:316-414 runs them before any
-    // phase): simplex local engine, write-probe = source dir writability
-    // (no side effects), forced write mode like the reference's `--mode w`
-    // since sandbox fixtures are not a readonly server
+    // phase): simplex local engine, forced write mode like the reference's
+    // `--mode w` since sandbox fixtures are not a readonly server. The
+    // write probe matches the mode: live --jdbc probes by CREATE/DROP of a
+    // real test table through the connection (migration.py:385-414); the
+    // fixture mode checks source-dir writability (no side effects).
     val gates = graft.premigration.Gates.evaluate(spark,
       props = Map("version" -> s"graft/spark ${spark.version}",
         "readonly" -> "Off"),
       nodes = Seq.empty, connectedServer = "local",
-      probeWriteSucceeds = () => Files.isWritable(Paths.get(sfDir)),
+      probeWriteSucceeds =
+        if (jdbc.nonEmpty) () => graft.sources.Jdbc.probeWrite(jdbc)
+        else () => Files.isWritable(Paths.get(sfDir)),
       forceWriteMode = true).collect()
     require(gates.forall(_.getBoolean(1)), "environment gates failed")
     val gateReport = gates.map(r =>
@@ -189,12 +197,20 @@ object Main {
       // carried into ExtractedTables.out come from the MANIFEST (what was
       // actually written), never from the current inventory count: a resumed
       // run re-recording the source count would let the load verify compare
-      // source-to-source and mask an extract-phase loss.
+      // source-to-source and mask an extract-phase loss. The manifest must
+      // also NAME this table: extract dirs are keyed by positional table id,
+      // so a changed table set between runs remaps ids — a name mismatch
+      // (or a legacy manifest with no name) re-extracts instead of silently
+      // attributing another table's artifacts and count to this one.
       val recorded: Option[Long] =
         if (Ctl.exists(conf, dir + ".manifest.json")) {
-          val m = Extract.readManifest(spark, dir)
-            .select(col("complete"), col("rows")).head()
-          if (m.getBoolean(0)) Some(m.getLong(1)) else None
+          val mdf = Extract.readManifest(spark, dir)
+          if (!mdf.columns.contains("table")) None
+          else {
+            val m = mdf.select(col("complete"), col("rows"), col("table")).head()
+            if (m.getBoolean(0) && m.getString(2) == w.name) Some(m.getLong(1))
+            else None
+          }
         } else None
       // format planner (migration.py:2115-2208): LOB-bearing tables are
       // FORCED onto the per-row-file path (scalar CSV + one file per LOB
@@ -203,10 +219,10 @@ object Main {
       val hasLob = df.schema.fields.exists(
         _.dataType == org.apache.spark.sql.types.BinaryType)
       val rows = recorded.getOrElse {
-        if (hasLob) Extract.extractLob(df, dir, w.tableId)
+        if (hasLob) Extract.extractLob(df, dir, w.tableId, table = w.name)
         else Extract.formatFor(df.schema) match {
-          case Extract.Binary => Extract.extractParquet(df, dir)
-          case _ => Extract.extractGzipCsv(df, dir)
+          case Extract.Binary => Extract.extractParquet(df, dir, table = w.name)
+          case _ => Extract.extractGzipCsv(df, dir, table = w.name)
         }
       }
       s"graft.${w.name},${w.tableId},$rows"

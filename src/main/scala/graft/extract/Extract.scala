@@ -95,11 +95,13 @@ object Extract {
   }
 
   /** Binary-format extract (parquet) for tables with non-text-able columns. */
-  def extractParquet(df: DataFrame, outDir: String, numFiles: Int = 8): Long = {
+  def extractParquet(df: DataFrame, outDir: String, numFiles: Int = 8,
+      table: String = ""): Long = {
     val cnt = writeCounted(df, numFiles)(
       _.write.mode(SaveMode.Overwrite).parquet(outDir))
     writeManifest(outDir, cnt, "parquet",
-      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL)
+      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL,
+      table = table)
     cnt
   }
 
@@ -107,7 +109,8 @@ object Extract {
     * (our replacement for the reference's `extractinfo`,
     * migration.py:1445-1458). Partition count bounds file count the way
     * Temp_Extract_Name1..8 did (migration.py:2382-2396). */
-  def extractGzipCsv(df: DataFrame, outDir: String, numFiles: Int = 8): Long = {
+  def extractGzipCsv(df: DataFrame, outDir: String, numFiles: Int = 8,
+      table: String = ""): Long = {
     val cnt = writeCounted(df, numFiles)(
       _.write.mode(SaveMode.Overwrite)
         .option("compression", "gzip")
@@ -115,7 +118,8 @@ object Extract {
         .option("timestampFormat", CsvTimestampFormat)
         .csv(outDir))
     writeManifest(outDir, cnt, "gzip_csv",
-      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL)
+      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL,
+      table = table)
     cnt
   }
 
@@ -127,15 +131,26 @@ object Extract {
   def writeManifest(outDir: String, rows: Long, format: String,
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration(),
-      schemaDdl: String = ""): Unit = {
+      schemaDdl: String = "", table: String = "",
+      lobFiles: Map[Int, Long] = Map.empty): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = dirPath.getFileSystem(conf)
     val files = fs.listStatus(dirPath)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
       .map(s => s"""{"name":"${s.getPath.getName}","bytes":${s.getLen}}""")
+    // `table` pins the manifest to ITS table: resume keys extract dirs by
+    // positional table id, so an id remap (table set changed between runs
+    // against one out dir) must not silently attribute this extract — and
+    // its recorded row count — to a different table. `lob_files` records the
+    // per-LOB-column file census so the load verify covers the LOB plane,
+    // not just the scalar row count.
+    val tableField = if (table.isEmpty) "" else s""""table":"${jsonEscape(table)}","""
+    val lobField = if (lobFiles.isEmpty) "" else
+      lobFiles.toSeq.sorted.map { case (c, n) => s""""$c":$n""" }
+        .mkString(""""lob_files":{""", ",", "},")
     val json =
-      s"""{"rows":$rows,"format":"$format","schema":"${jsonEscape(schemaDdl)}","files":[${files.mkString(",")}],"complete":true}"""
+      s"""{$tableField$lobField"rows":$rows,"format":"$format","schema":"${jsonEscape(schemaDdl)}","files":[${files.mkString(",")}],"complete":true}"""
     // sibling file, not inside the dir: underscore-prefixed files are
     // invisible to Spark readers, and a non-underscore file inside the
     // directory would pollute the data scan
@@ -153,10 +168,25 @@ object Extract {
     * rowid deviation) and must cast to long. The manifest's schema DDL keeps
     * the FULL schema including the LOB columns, which is what lets
     * [[readExtractedAuto]] reassemble the table without the source. */
-  def extractLob(df: DataFrame, outDir: String, tableId: Int, numFiles: Int = 8): Long = {
+  def extractLob(df: DataFrame, outDir: String, tableId: Int, numFiles: Int = 8,
+      table: String = ""): Long = {
     import org.apache.spark.sql.types.BinaryType
     val fields = df.schema.fields
     val idCol = fields.head.name
+    // the lead column IS the per-row file name, so it must identify rows:
+    // a null id would alias to row 0, a duplicate would overwrite its twin
+    // (overwrite=true), and the count-only load verify would stay green over
+    // the corrupted read-back — fail the extract instead. One column-pruned
+    // aggregate over the cast the sink itself applies (covers null AND
+    // non-castable values in one check). Negative ids are legal: the
+    // read-back regexp accepts them.
+    val idL = col(idCol).cast("long")
+    val ids = df.agg(count(lit(1)).as("n"), count(idL).as("n_id"),
+      countDistinct(idL).as("n_uniq")).head()
+    require(ids.getLong(1) == ids.getLong(0) && ids.getLong(2) == ids.getLong(0),
+      s"LOB extract needs a non-null, unique, long-castable lead column: " +
+        s"'$idCol' has ${ids.getLong(0)} rows, ${ids.getLong(1)} usable ids, " +
+        s"${ids.getLong(2)} distinct")
     val scalar = df.select(fields.filter(_.dataType != BinaryType).map(f => col(f.name)).toSeq: _*)
     val cnt = writeCounted(scalar, numFiles)(
       _.write.mode(SaveMode.Overwrite)
@@ -164,12 +194,14 @@ object Extract {
         .option("header", "true")
         .option("timestampFormat", CsvTimestampFormat)
         .csv(outDir))
-    fields.zipWithIndex.collect { case (f, i) if f.dataType == BinaryType =>
-      LobSink.writePerRow(df, idCol, f.name, s"$outDir.lob${i + 1}",
-        tableId, colId = i + 1)
-    }
+    val lobCounts = fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == BinaryType =>
+        (i + 1) -> LobSink.writePerRow(df, idCol, f.name, s"$outDir.lob${i + 1}",
+          tableId, colId = i + 1)
+    }.toMap
     writeManifest(outDir, cnt, "lob_csv",
-      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL)
+      df.sparkSession.sparkContext.hadoopConfiguration, df.schema.toDDL,
+      table = table, lobFiles = lobCounts)
     cnt
   }
 
@@ -204,14 +236,35 @@ object Extract {
         // per-row files (file name carries the row id; a row with no file
         // had a NULL cell — left join restores it)
         val idName = schema.fields.head.name
+        val mAll = readManifest(spark, dir)
+        // LOB-plane completeness: the manifest's per-column file census must
+        // match what's on disk — a lost LOB file would otherwise read back
+        // as a silent NULL cell under a still-green scalar row count. Pure
+        // FS-metadata listing, no job.
+        val recordedLob: Map[Int, Long] =
+          if (mAll.columns.contains("lob_files"))
+            mAll.select(col("lob_files.*")).schema.fieldNames.zip(
+              mAll.select(col("lob_files.*")).head().toSeq).map {
+              case (k, v) => k.toInt -> v.asInstanceOf[Number].longValue()
+            }.toMap
+          else Map.empty
         val scalar = readExtracted(spark, dir,
           StructType(schema.fields.filter(_.dataType != BinaryType)))
         val full = schema.fields.zipWithIndex
           .collect { case (f, i) if f.dataType == BinaryType => (f, i + 1) }
           .foldLeft(scalar) { case (acc, (f, colId)) =>
-            val lob = LobSink.readBack(spark, s"$dir.lob$colId")
+            val lobDir = s"$dir.lob$colId"
+            recordedLob.get(colId).foreach { expected =>
+              val p = new org.apache.hadoop.fs.Path(lobDir)
+              val actual = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .listStatus(p).count(s => s.isFile && s.getPath.getName.contains("_row"))
+              require(actual == expected,
+                s"LOB plane incomplete for $lobDir: $actual files on disk, " +
+                  s"manifest recorded $expected")
+            }
+            val lob = LobSink.readBack(spark, lobDir)
               .select(
-                regexp_extract(col("file_name"), "_row(\\d+)\\.", 1)
+                regexp_extract(col("file_name"), "_row(-?\\d+)\\.", 1)
                   .cast("long").as("__lob_id"),
                 col("content").as(f.name))
             acc.join(lob, acc(idName).cast("long") === col("__lob_id"), "left_outer")

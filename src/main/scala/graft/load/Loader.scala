@@ -109,6 +109,14 @@ object Loader {
       url: String, table: String): LoadResult = {
     import graft.sources.Jdbc
     val staging = s"${table}_staging"
+    // crash recovery (the JDBC mirror of loadVerified's .old restore): the
+    // DROP+RENAME promote below is not atomic, so a crash between the two
+    // leaves the only committed copy in the staging table. Finish the rename
+    // before reloading — otherwise a verify failure in THIS run would drop
+    // the staging copy and leave the table missing entirely.
+    val existing = Jdbc.listTables(url).map(_.toUpperCase).toSet
+    if (!existing.contains(table.toUpperCase) && existing.contains(staging.toUpperCase))
+      Jdbc.execute(url, s"RENAME TABLE $staging TO $table")
     Jdbc.write(df, url, staging, SaveMode.Overwrite)
     val loaded = Jdbc.read(spark, url, staging).count()
     if (loaded != expected) {
@@ -150,7 +158,18 @@ object Loader {
       else Set.empty
     val pending = work.filter(w => prevFailed.contains(w.name) || !loadedOk.contains(w.name))
     val (retry, fresh) = pending.partition(w => prevFailed.contains(w.name))
-    val results = (retry ++ fresh).map(loadOne)
+    // a table whose load THROWS (unreadable artifacts, an incomplete LOB
+    // plane failing readExtractedAuto's census check) is a failed table,
+    // not a crashed run: record it like a failed verify so it lands on the
+    // failed list and retries first next run — the reference's per-table
+    // failure containment (load_schema_and_data.py:854-874)
+    val results = (retry ++ fresh).map { w =>
+      try loadOne(w)
+      catch {
+        case e: Exception =>
+          LoadResult(w.name, -1L, 0L, ok = false, detail = s"load threw: ${e.getMessage}")
+      }
+    }
     Ctl.write(conf, failedListPath,
       results.filterNot(_.ok).map(_.tableName).mkString("", "\n", "\n"))
     results

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Version tag of the IVF BUILD code path, folded into persistent cache
+    * keys: bump it whenever [[ivfBuild]]/[[ivfBuildTrained]] (or anything
+    * they call) changes the on-disk index, so a cached index built by older
+    * code can never silently serve the new queries. */
+  val IvfBuildVersion = 2
+
   /** Sequential-fold dot product of two float/double arrays, in double —
     * the codegen'd [[graft.functions.DotProduct]] kernel (identical value
     * and null semantics to the `aggregate(zip_with(…))` fold it replaced;
@@ -173,10 +179,26 @@ object Similarity {
     * The probed-cell collect is bounded by the CELL count (an index
     * parameter, thousands at most), never by corpus or query cardinality —
     * the literal cell list is precisely what makes the scan prunable. */
+  /** Read the persisted centroid table via its exact part-file paths. The
+    * `_centroids` directory name is underscore-hidden by design (invisible
+    * to corpus reads), but a DIRECTORY read of it trips `DataSource`'s
+    * hidden-path filter into a "All paths were ignored" warning on every
+    * query — listing the part files explicitly keeps the read silent;
+    * explicit file paths are never filtered. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(indexPath + "/_centroids")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted.toSeq
+    spark.read.parquet(parts: _*)
+  }
+
   def ivfTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, idCol: String, vecCol: String, cellCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val cent = spark.read.parquet(indexPath + "/_centroids")
+    val cent = readCentroids(spark, indexPath)
       .withColumnRenamed(cellCol, "cell")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))

@@ -34,12 +34,27 @@ object Pipeline {
   private val fingerprintSql =
     "CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT)"
 
-  // Deterministic per-(corpus dir, query) index location so repeated
-  // invocations in one process lifetime — Verify, Bench warm-up + reps —
-  // reuse the build-once index instead of rebuilding it each call (the
-  // testdata dirs are immutable, so keying the cache by path is sound).
-  private def cachedIvfDir(sfDir: String, tag: String): String = {
-    val key = java.lang.Integer.toHexString(sfDir.hashCode & 0x7fffffff)
+  // Deterministic per-(corpus, params, build version) index location so
+  // repeated invocations — Verify, Bench warm-up + reps — reuse the
+  // build-once index instead of rebuilding it each call. The key folds in
+  // the CANONICAL corpus path, a cheap content fingerprint of the embeddings
+  // table (file names + sizes + mtimes — no data read), the index params,
+  // and the builder code version: changed data at the same path, a param
+  // tweak, or a builder change each produce a NEW key, so a stale on-disk
+  // index can never silently serve across rounds or testdata regenerations.
+  private[graft] def cachedIvfDir(sfDir: String, tag: String,
+      params: String): String = {
+    val canonical = new java.io.File(sfDir).getCanonicalPath
+    val table = new java.io.File(canonical, "embeddings.parquet")
+    val content =
+      if (table.isDirectory)
+        table.listFiles().sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+      else s"${table.length}:${table.lastModified}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$canonical|$content|$params|v${Similarity.IvfBuildVersion}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cache/$tag-$key/ivf"
   }
 
@@ -258,7 +273,7 @@ object Pipeline {
       knnOracle("q.vec_id >= 10 AND q.vec_id < 20", k = 5)) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val idx = Similarity.ivfBuildCached(e, "embedding", "label",
-        cachedIvfDir(dir, "sim2"))
+        cachedIvfDir(dir, "sim2", "cellCol=label"))
       Similarity.ivfTopK(s, idx, e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 5, nprobe = 10)
         .withColumn("rank", col("rank").cast("long"))
@@ -274,7 +289,7 @@ object Pipeline {
       knnOracle("q.vec_id >= 20 AND q.vec_id < 30", k = 5)) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val idx = Similarity.ivfBuildTrainedCached(e, "vec_id", "embedding",
-        k = 8, iters = 3, cachedIvfDir(dir, "sim4"))
+        k = 8, iters = 3, cachedIvfDir(dir, "sim4", "cellCol=kmeans,k=8,iters=3"))
       Similarity.ivfTopK(s, idx, e.filter(col("vec_id") >= 20 && col("vec_id") < 30),
           "vec_id", "embedding", "cell", k = 5, nprobe = 8)
         .withColumn("rank", col("rank").cast("long"))
@@ -465,6 +480,33 @@ object Pipeline {
         |SELECT s, count(*) AS n FROM g GROUP BY s
         |ORDER BY n DESC, s LIMIT 20""".stripMargin) { (s, dir) =>
       TextAnalysis.ngramCensus(Tables.load(s, dir, "documents"), "text", n = 5, limit = 20)
+    },
+
+    // t10/st4: approximate-distinct census (HLL++ sketches). At 100 TB the
+    // exact forms (t4's countDistinct fingerprint census, st3's distinct
+    // users) shuffle EVERY distinct value to its reducer; the sketch form
+    // ships one fixed-size (~KB at rsd 0.02) sketch per group per partition
+    // and merges — constant network cost per group regardless of corpus
+    // size. DuckDB can't hash-match a sketch, so both are rows-only by
+    // design; PipelineSpec bounds the relative error against the exact
+    // census (HLL++ is deterministic for a given input set, so the bound is
+    // stable, not probabilistic flake).
+    QueryDef.rowsOnly("t10_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          approx_count_distinct(graft.pipeline.TextOps.fingerprint(col("text")), rsd = 0.02)
+            .as("approx_unique"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+
+    QueryDef.rowsOnly("st4_approx_users") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     },
 
     // cur1: the composed curation pipeline — language gate, quality gate,

@@ -78,12 +78,96 @@ object Jdbc {
     else Some((r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
   }
 
+  /** The SQL key expression a string partition key is read and compared
+    * through: an ANSI CAST to bounded VARCHAR. Two reasons: (a) engines
+    * store unbounded strings as LOB types that reject MIN/MAX and `<`
+    * outright (Spark's own Derby dialect writes StringType as CLOB), and
+    * (b) it bounds the boundary literals. Truncation at 128 chars can only
+    * skew partition BALANCE (rows sharing a 128-char prefix collapse to one
+    * truncated value), never correctness: every row has exactly one
+    * truncated key value, and the predicates partition that value space
+    * exactly once. */
+  private def strKeySql(column: String): String =
+    s"""CAST("$column" AS VARCHAR(128))"""
+
+  /** Pushed-down [min, max] of a STRING column — same single-row remote
+    * aggregate shape as [[bounds]], through [[strKeySql]]'s cast. */
+  def stringBounds(spark: SparkSession, url: String, table: String,
+      column: String): Option[(String, String)] = {
+    quietDerby
+    val k = strKeySql(column)
+    val r = spark.read.jdbc(url,
+      s"(SELECT MIN($k) AS lo, MAX($k) AS hi FROM $table) sbounds_q",
+      props()).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else Some((r.getString(0), r.getString(1)))
+  }
+
+  /** Per-partition WHERE predicates that split a STRING key's [lo, hi]
+    * lexicographically — the parallel-read path for tables with NO integral
+    * column. The reference extracts every table at parallel degree 64
+    * regardless of key shape (`/root/reference/Migration/migration.py:
+    * 2145,2183`); a one-connection funnel on a 100 TB string-keyed table is
+    * exactly what live mode exists to avoid.
+    *
+    * Boundaries are interpolated in the UTF-16 code-unit space of the first
+    * `depth` chars after the min/max common prefix. They steer only BALANCE;
+    * partition-union correctness needs just a consistently ORDERED boundary
+    * list (each row matches exactly one range for any total order the engine
+    * applies consistently), which the sort below guarantees under binary-ish
+    * collations (Derby UCS_BASIC; exotic case-folding collations that order
+    * the literals differently than the driver did are out of scope and
+    * documented here). NULL keys ride the first partition. `keySql` is the
+    * verbatim SQL expression the key is compared through (a quoted column,
+    * or [[strKeySql]]'s LOB-safe cast). */
+  def stringRangePredicates(keySql: String, lo: String, hi: String,
+      n: Int, depth: Int = 3): Seq[String] = {
+    require(n > 0 && depth > 0)
+    if (lo >= hi || n == 1) return Seq.empty
+    val quoted = keySql
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val cp = lo.zip(hi).takeWhile { case (a, b) => a == b }.size
+    val prefix = lo.take(cp)
+    val base = BigInt(65536)
+    def value(s: String): BigInt =
+      (0 until depth).map { i =>
+        val c = if (cp + i < s.length) s.charAt(cp + i).toInt else 0
+        BigInt(c) * base.pow(depth - 1 - i)
+      }.sum
+    def toStr(v: BigInt): String =
+      prefix + (0 until depth).map { i =>
+        val d = ((v / base.pow(depth - 1 - i)) % base).toInt
+        // clamp into valid non-surrogate char space: distorts balance a
+        // hair on exotic data, never correctness (boundaries stay sorted)
+        d.max(1).min(0xD7FF).toChar
+      }.mkString
+    val (loV, hiV) = (value(lo), value(hi))
+    if (hiV <= loV) return Seq.empty
+    val cuts = (1 until n).map(i => loV + (hiV - loV) * i / n)
+      .map(toStr).distinct.sorted.filter(b => b > lo && b <= hi)
+    if (cuts.isEmpty) Seq.empty
+    else (s"$quoted < ${sqlLit(cuts.head)} OR $quoted IS NULL") +:
+      cuts.sliding(2).collect { case Seq(a, b) =>
+        s"$quoted >= ${sqlLit(a)} AND $quoted < ${sqlLit(b)}"
+      }.toSeq :+ s"$quoted >= ${sqlLit(cuts.last)}"
+  }
+
+  /** Parallel live-mode read over explicit per-partition predicates — one
+    * connection per predicate, the JDBC source's disjoint-WHERE form. */
+  def readPredicated(spark: SparkSession, url: String, table: String,
+      predicates: Seq[String]): DataFrame = {
+    quietDerby
+    spark.read.jdbc(url, table, predicates.toArray, props())
+  }
+
   /** Live-mode read that SCALES when it can: picks the table's first
     * integral column as the partition key, fetches its pushed-down bounds,
     * and opens `numPartitions` range-partitioned connections — the form a
-    * large table actually leaves a server by. Falls back to the
-    * one-connection read when no integral column exists or the table is
-    * empty/constant-keyed. */
+    * large table actually leaves a server by. With no integral column it
+    * splits the first STRING column's [min, max] into lexicographic range
+    * predicates ([[stringRangePredicates]]) instead of funneling through one
+    * connection; only a table with no splittable key at all (or empty /
+    * constant-keyed) falls back to the plain read. */
   def readAuto(spark: SparkSession, url: String, table: String,
       numPartitions: Int): DataFrame = {
     import org.apache.spark.sql.types._
@@ -94,7 +178,16 @@ object Jdbc {
     partCol.flatMap(c => bounds(spark, url, table, c).map((c, _))) match {
       case Some((c, (lo, hi))) if hi > lo =>
         readPartitioned(spark, url, table, c, lo, hi, numPartitions)
-      case _ => plain
+      case _ =>
+        val strCol = plain.schema.fields.collectFirst {
+          case f if f.dataType == StringType => f.name
+        }
+        strCol.flatMap(c => stringBounds(spark, url, table, c).map((c, _))) match {
+          case Some((c, (lo, hi))) if lo != hi =>
+            val preds = stringRangePredicates(strKeySql(c), lo, hi, numPartitions)
+            if (preds.size > 1) readPredicated(spark, url, table, preds) else plain
+          case _ => plain
+        }
     }
   }
 
@@ -126,6 +219,18 @@ object Jdbc {
       buf.toSeq
     } finally conn.close()
   }
+
+  /** Live write-probe: CREATE and DROP a real test table through the
+    * connection, like the reference's readonly gate (`/root/reference/
+    * Migration/migration.py:385-414`) — proves the ENGINE accepts writes,
+    * which a directory-permission check cannot. */
+  def probeWrite(url: String): Boolean =
+    try {
+      execute(url, "DROP TABLE graft_write_probe", ignoreMissingTable = true)
+      execute(url, "CREATE TABLE graft_write_probe (i INT)")
+      execute(url, "DROP TABLE graft_write_probe")
+      true
+    } catch { case _: java.sql.SQLException => false }
 
   /** Run one DDL/DML statement on the live connection (the load phase's
     * promote step needs DROP/RENAME, which the DataFrame writer can't

@@ -56,14 +56,80 @@ class JdbcSpec extends SparkTestBase {
         .map(_.getAs[Number]("n_nationkey").longValue()).toSeq ==
       nation.orderBy("n_nationkey").collect()
         .map(_.getAs[Number]("n_nationkey").longValue()).toSeq)
-    // no integral column -> one-connection fallback, same rows
+    // no integral column -> the STRING path takes over (round 7): range
+    // predicates over the first string column, still every row exactly once
     Jdbc.write(nation.select(col("n_name")), url, "nation_noint")
     val fb = Jdbc.readAuto(spark, url, "nation_noint", numPartitions = 6)
-    assert(fb.rdd.getNumPartitions == 1)
+    assert(fb.rdd.getNumPartitions > 1, "string-keyed table not parallelized")
     assert(fb.count() == nation.count())
+    assert(fb.select("n_name").exceptAll(nation.select("n_name")).count() == 0)
     // empty table -> bounds are null -> fallback, not a crash
     Jdbc.write(nation.filter(lit(false)), url, "nation_empty")
     assert(Jdbc.readAuto(spark, url, "nation_empty", numPartitions = 4).count() == 0)
+  }
+
+  test("readAuto splits a string-keyed table into range-predicate partitions") {
+    import spark.implicits._
+    // no integral column anywhere: the old fallback funneled this through
+    // ONE connection; the reference extracts every table at parallel degree
+    // 64 regardless of key shape (migration.py:2145,2183)
+    val rows = (('a' to 'z').map(c => s"${c}name") :+ null)
+      .map(k => (k, s"payload-$k")).toDF("s_key", "s_val")
+    Jdbc.write(rows, url, "str_keyed")
+    val auto = Jdbc.readAuto(spark, url, "str_keyed", numPartitions = 4)
+    assert(auto.rdd.getNumPartitions > 1, "string key not range-partitioned")
+    // partition-union exactness: every row exactly once, NULL key included
+    val plain = Jdbc.read(spark, url, "str_keyed")
+    assert(auto.count() == 27)
+    assert(auto.exceptAll(plain).count() == 0 && plain.exceptAll(auto).count() == 0)
+    // constant key -> no usable split -> plain read, not a crash
+    Jdbc.write(Seq.fill(5)(("same", 1)).toDF("k", "v").select(col("k")), url, "str_const")
+    assert(Jdbc.readAuto(spark, url, "str_const", 4).count() == 5)
+    // keys containing quotes: boundary literals must escape cleanly
+    // (predicates are injected as raw SQL text into the remote WHERE)
+    val quoted = Seq("o'brien", "o'connor", "d'arcy", "smith", "zo'e")
+      .map(k => (k, 1)).toDF("q_key", "q_val")
+    Jdbc.write(quoted, url, "str_quoted")
+    val qAuto = Jdbc.readAuto(spark, url, "str_quoted", numPartitions = 3)
+    assert(qAuto.count() == 5)
+    assert(qAuto.exceptAll(Jdbc.read(spark, url, "str_quoted")).count() == 0)
+  }
+
+  test("stringRangePredicates cover the space once, quote-escape, and degrade to empty") {
+    val preds = Jdbc.stringRangePredicates("k", "alpha", "zulu", 4)
+    assert(preds.size >= 2 && preds.size <= 4)
+    assert(preds.head.contains("IS NULL"), "NULL keys must ride the first partition")
+    assert(preds.count(_.contains(">=")) == preds.size - 1)
+    assert(Jdbc.stringRangePredicates("k", "same", "same", 4).isEmpty)
+    assert(Jdbc.stringRangePredicates("k", "b", "a", 4).isEmpty)
+    assert(Jdbc.stringRangePredicates("k", "a", "z", 1).isEmpty)
+  }
+
+  test("write probe creates and drops a real table through the connection") {
+    assert(Jdbc.probeWrite(url), "probe failed on a writable live engine")
+    assert(!Jdbc.listTables(url).exists(_.toUpperCase.contains("GRAFT_WRITE_PROBE")),
+      "probe table leaked")
+    // unreachable engine -> probe is false, not a crash
+    assert(!Jdbc.probeWrite("jdbc:derby:/nonexistent/nope"))
+  }
+
+  test("JDBC load recovers an interrupted promote before reloading") {
+    import spark.implicits._
+    val nation = Tables.load(spark, sfDir, "nation").select("n_nationkey", "n_name")
+    // committed state, then simulate a crash that happened between the
+    // promote's DROP and RENAME: committed table gone, data only in staging
+    assert(graft.load.Loader.loadVerifiedJdbc(spark, nation, nation.count(),
+      url, "crash_nation").ok)
+    Jdbc.write(Jdbc.read(spark, url, "crash_nation"), url, "crash_nation_staging")
+    Jdbc.execute(url, "DROP TABLE crash_nation")
+    // next load FAILS its verify (wrong expected): recovery must first
+    // finish the interrupted rename so the committed copy survives
+    val r = graft.load.Loader.loadVerifiedJdbc(spark, nation.limit(3), 999L,
+      url, "crash_nation")
+    assert(!r.ok)
+    assert(Jdbc.read(spark, url, "crash_nation").count() == nation.count(),
+      "interrupted promote not recovered — committed table lost")
+    assert(!Jdbc.listTables(url).exists(_.toUpperCase.contains("CRASH_NATION_STAGING")))
   }
 
   test("live-JDBC CLI mode: catalog-driven extract and load back end-to-end") {

@@ -352,6 +352,50 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.count() == expected)
   }
 
+  test("IVF cache key is sensitive to params, build version, and corpus content") {
+    import graft.queries.Pipeline.cachedIvfDir
+    val a = cachedIvfDir(sfDir, "sim2", "cellCol=label")
+    assert(a == cachedIvfDir(sfDir, "sim2", "cellCol=label"), "key not deterministic")
+    assert(a != cachedIvfDir(sfDir, "sim2", "cellCol=kmeans,k=8,iters=3"),
+      "a param change must produce a new cache key (stale-index hazard)")
+    // changed corpus content at the same path -> new key: copy the corpus,
+    // key it, then touch the embeddings table's mtime
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfkey")
+    val tbl = dir.resolve("embeddings.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"), tbl)
+    val k1 = cachedIvfDir(dir.toString, "sim2", "cellCol=label")
+    assert(new java.io.File(tbl.toString)
+      .setLastModified(System.currentTimeMillis() + 60000))
+    assert(k1 != cachedIvfDir(dir.toString, "sim2", "cellCol=label"),
+      "changed data at the same path must invalidate the cached index")
+  }
+
+  test("approx-distinct census stays within the sketch's error bound of the exact census") {
+    // HLL++ at rsd=0.02: assert a conservative 3x-rsd bound per group —
+    // the sketch is deterministic for a given input set, so this is a
+    // stable regression gate, not a probabilistic flake
+    val approx = graft.SparkEntry.queries("t10_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.groupBy("source")
+      .agg(countDistinct(graft.pipeline.TextOps.fingerprint(col("text"))).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, u) =>
+      val rel = math.abs(approx(src) - u).toDouble / u.max(1L)
+      assert(rel <= 0.06, f"$src: approx=${approx(src)} exact=$u rel=$rel%.4f > 0.06")
+    }
+    val approxUsers = graft.SparkEntry.queries("st4_approx_users")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactUsers = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactUsers.foreach { case (et, u) =>
+      val rel = math.abs(approxUsers(et) - u).toDouble / u.max(1L)
+      assert(rel <= 0.06, f"$et: approx=${approxUsers(et)} exact=$u rel=$rel%.4f > 0.06")
+    }
+  }
+
   test("accumulators count processed rows (A8 running counters)") {
     val acc = spark.sparkContext.longAccumulator("tables_count")
     val li = Tables.load(spark, sfDir, "lineitem")

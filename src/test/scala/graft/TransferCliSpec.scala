@@ -271,6 +271,81 @@ class TransferCliSpec extends SparkTestBase {
       Paths.get(s"$out/Extracted_Data/1000.manifest.json")) == beforeStamp)
   }
 
+  test("resume re-extracts when the manifest names a DIFFERENT table (id remap)") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft_remap").toString
+    graft.cli.Main.fullExtraction(spark, sfDir, out)
+    val listed = Files.readAllLines(Paths.get(s"$out/iq_tables.list")).asScala
+    val nationId = listed.find(_.startsWith("graft.nation,")).get.split(',')(3)
+    val manifest = Paths.get(s"$out/Extracted_Data/$nationId.manifest.json")
+    assert(Files.readString(manifest).contains("\"table\":\"nation\""),
+      "manifest must record its table name")
+    // simulate an id remap: the dir keyed by nation's id claims to hold a
+    // different table's extract — a positional-id resume would silently
+    // attribute region's (wrong) artifacts and count to nation
+    graft.core.Ctl.write(spark.sparkContext.hadoopConfiguration, manifest.toString,
+      Files.readString(manifest).replace("\"table\":\"nation\"", "\"table\":\"region\""))
+    val stampOther = Files.getLastModifiedTime(
+      Paths.get(s"$out/Extracted_Data/1000.manifest.json"))
+    graft.cli.Main.fullExtraction(spark, sfDir, out)
+    // the mismatched dir was re-extracted (manifest rewritten with the right
+    // name); a matching table was still skipped
+    assert(Files.readString(manifest).contains("\"table\":\"nation\""))
+    assert(Files.getLastModifiedTime(
+      Paths.get(s"$out/Extracted_Data/1000.manifest.json")) == stampOther)
+  }
+
+  test("LOB extract fails fast on null or duplicate lead-column ids") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lobids").toString
+    val dup = Seq((1L, Array[Byte](1)), (1L, Array[Byte](2)), (2L, Array[Byte](3)))
+      .toDF("id", "payload")
+    val e1 = intercept[IllegalArgumentException](
+      graft.extract.Extract.extractLob(dup, s"$dir/dup", 9001))
+    assert(e1.getMessage.contains("unique"))
+    val withNull = Seq((java.lang.Long.valueOf(1L), Array[Byte](1)),
+      (null.asInstanceOf[java.lang.Long], Array[Byte](2))).toDF("id", "payload")
+    assertThrows[IllegalArgumentException](
+      graft.extract.Extract.extractLob(withNull, s"$dir/nul", 9002))
+    // negative ids are LEGAL and round-trip (the read-back regexp accepts
+    // the sign; a lost sign would read the cell back as NULL silently)
+    val neg = Seq((-5L, Array[Byte](7, 8)), (3L, Array[Byte](9))).toDF("id", "payload")
+    assert(graft.extract.Extract.extractLob(neg, s"$dir/neg", 9003) == 2)
+    val back = graft.extract.Extract.readExtractedAuto(spark, s"$dir/neg")
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(-5L, 3L))
+    assert(java.util.Arrays.equals(back(0).getAs[Array[Byte]]("payload"), Array[Byte](7, 8)))
+  }
+
+  test("a lost LOB file fails the load via the manifest's per-column census") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft_lobloss")
+    graft.core.Tables.names.foreach { n =>
+      Files.copy(Paths.get(s"$sfDir/$n.parquet"), dataDir.resolve(s"$n.parquet"))
+    }
+    val att = Seq((1L, Array[Byte](1, 2)), (2L, Array[Byte](3)), (3L, Array[Byte](4)))
+      .toDF("att_id", "payload")
+    att.coalesce(1).write.parquet(dataDir.resolve("tmp_att").toString)
+    val part = Files.list(dataDir.resolve("tmp_att")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, dataDir.resolve("attachments.parquet"))
+    val out = Files.createTempDirectory("graft_lobloss_out").toString
+    graft.cli.Main.fullExtraction(spark, dataDir.toString, out)
+    val attId = Files.readAllLines(Paths.get(s"$out/iq_tables.list")).asScala
+      .find(_.startsWith("graft.attachments,")).get.split(',')(3)
+    assert(Files.readString(Paths.get(s"$out/Extracted_Data/$attId.manifest.json"))
+      .contains("\"lob_files\":{\"2\":3}"))
+    // lose one LOB file: scalar row count stays intact, so only the LOB
+    // census catches it — the cell would otherwise reload as a silent NULL
+    Files.delete(Paths.get(s"$out/Extracted_Data/$attId.lob2/${attId}_row2.2"))
+    val err = intercept[IllegalArgumentException](graft.cli.Main.fullLoad(spark, out))
+    assert(err.getMessage.contains("load verification failed"))
+    val loaded = Files.readAllLines(Paths.get(s"$out/HDL_LoadedTables.out")).asScala
+    assert(loaded.exists(l => l.startsWith("graft.attachments,") && l.endsWith(",N")),
+      s"attachments should have failed the LOB census: $loaded")
+  }
+
   test("cli rejects phase flag combinations (five-flag mutual exclusion)") {
     // the reference's matrix (migration.py:103-107): pairwise exclusive,
     // one required
