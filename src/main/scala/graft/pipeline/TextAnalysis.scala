@@ -104,6 +104,36 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("s"))
       .limit(limit)
 
+  /** C4-style per-document quality gates (Raffel et al. 2020 §2.2's
+    * heuristic battery, public; the word-level complements live in
+    * [[repetitionFeatures]]): terminal punctuation, sentence census,
+    * words-per-sentence band, symbol-noise ratio, a fixed boilerplate
+    * word-list, and the composed `keep` verdict. Pure codegen'd built-ins —
+    * one projection over the corpus scan, no shuffle at all; each measure
+    * has an exact DuckDB spelling so the whole battery is hash-gated.
+    * The word list is deliberately tiny and fixed: the operator contract is
+    * determinism, not content moderation. */
+  def c4Gates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val endsPunct = regexp_count(txt, lit("[.!?\"]\\s*$")) > 0
+    val nSentences = regexp_count(txt, lit("[.!?]+"))
+    val nTokens = size(regexp_extract_all(txt, lit("\\S+"), lit(0)))
+    val nSymbols = regexp_count(txt, lit("[#{}<>|@]"))
+    val badHits = regexp_count(lower(txt),
+      lit("\\b(click here|subscribe now|lorem ipsum)\\b"))
+    val wordsPerSentence = nTokens.cast("double") / greatest(nSentences, lit(1))
+    val symbolRatio = nSymbols.cast("double") / greatest(length(txt), lit(1))
+    docs.select(
+      col(idCol),
+      endsPunct.as("ends_with_punct"),
+      nSentences.cast("long").as("n_sentences"),
+      round(wordsPerSentence, 4).as("words_per_sentence"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      badHits.cast("long").as("bad_word_hits"),
+      (endsPunct && nSentences >= 2 && wordsPerSentence.between(3, 60) &&
+        symbolRatio < 0.1 && badHits === 0).as("keep"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish sub-tokens
     * (letter runs / digit runs / single symbols). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

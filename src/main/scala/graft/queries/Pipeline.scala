@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal / streaming-window), each with a DuckDB oracle that replays the
@@ -296,6 +296,24 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // sim5: product quantization + ADC — the memory-bound ANN scale path
+    // (IVF-PQ's quantization half; composes with the cell-partitioned IVF
+    // layout). Codes are ~30-60x smaller than the raw vectors and scoring
+    // is m table lookups per candidate. Rows-only by design: the trained
+    // codebooks ride float `avg()` folds whose last-bit accumulation order
+    // isn't replayable in SQL; PipelineSpec measures planted-near-dup
+    // retrieval and recall@10 vs brute force instead.
+    QueryDef.rowsOnly("sim5_pq_adc") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val books = Pq.trainCodebooks(e, "vec_id", "v", m = 8, k = 16, iters = 2, dim = 64)
+      val codes = Pq.encode(e, "vec_id", "v", books, m = 8, dim = 64)
+      Pq.adcTopK(codes, books, e.filter(col("vec_id") < 10), "vec_id", "v",
+          k = 5, m = 8, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Sign-random-projection bucket histogram — the cosine-LSH scale path.
     QueryDef(
       "sim3_srp_buckets",
@@ -480,6 +498,32 @@ object Pipeline {
         |SELECT s, count(*) AS n FROM g GROUP BY s
         |ORDER BY n DESC, s LIMIT 20""".stripMargin) { (s, dir) =>
       TextAnalysis.ngramCensus(Tables.load(s, dir, "documents"), "text", n = 5, limit = 20)
+    },
+
+    // t11: C4-style quality-gate battery — terminal punctuation, sentence
+    // census, words-per-sentence band, symbol noise, boilerplate word-list,
+    // composed keep verdict. One shuffle-free projection over the corpus
+    // scan; every measure has an exact DuckDB spelling (hash-gated).
+    QueryDef(
+      "t11_c4_gates",
+      """WITH f AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[.!?"]\s*$')) > 0 AS ends_with_punct,
+        |  len(regexp_extract_all(text, '[.!?]+')) AS ns,
+        |  len(regexp_extract_all(text, '\S+')) AS nt,
+        |  len(regexp_extract_all(text, '[#{}<>|@]')) AS nsym,
+        |  len(regexp_extract_all(lower(text), '\b(click here|subscribe now|lorem ipsum)\b')) AS bad,
+        |  length(text) AS nc
+        |  FROM documents)
+        |SELECT doc_id, ends_with_punct,
+        |  CAST(ns AS BIGINT) AS n_sentences,
+        |  round(nt / greatest(ns, 1), 4) AS words_per_sentence,
+        |  round(nsym / greatest(nc, 1), 4) AS symbol_ratio,
+        |  CAST(bad AS BIGINT) AS bad_word_hits,
+        |  (ends_with_punct AND ns >= 2 AND nt / greatest(ns, 1) BETWEEN 3 AND 60
+        |   AND nsym / greatest(nc, 1) < 0.1 AND bad = 0) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.c4Gates(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // t10/st4: approximate-distinct census (HLL++ sketches). At 100 TB the

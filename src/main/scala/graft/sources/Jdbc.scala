@@ -90,6 +90,38 @@ object Jdbc {
   private def strKeySql(column: String): String =
     s"""CAST("$column" AS VARCHAR(128))"""
 
+  /** Pushed-down [min, max] of a DATE/TIMESTAMP column, returned in the
+    * `java.sql` string forms Spark's options-based partitioner parses
+    * (`yyyy-MM-dd[ HH:mm:ss.f…]`). */
+  def timeBounds(spark: SparkSession, url: String, table: String,
+      column: String): Option[(String, String)] = {
+    quietDerby
+    val r = spark.read.jdbc(url,
+      s"""(SELECT MIN("$column") AS lo, MAX("$column") AS hi FROM $table) tbounds_q""",
+      props()).head()
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else Some((r.get(0).toString, r.get(1).toString))
+  }
+
+  /** Parallel live-mode read range-partitioned on a DATE/TIMESTAMP key —
+    * the options form of the JDBC source, which (unlike the Long-bounds
+    * method) accepts temporal bounds as strings. Same shape as
+    * [[readPartitioned]]: `numPartitions` connections, each scanning one
+    * time slice. */
+  def readPartitionedTime(spark: SparkSession, url: String, table: String,
+      partitionCol: String, lower: String, upper: String,
+      numPartitions: Int): DataFrame = {
+    quietDerby
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+  }
+
   /** Pushed-down [min, max] of a STRING column — same single-row remote
     * aggregate shape as [[bounds]], through [[strKeySql]]'s cast. */
   def stringBounds(spark: SparkSession, url: String, table: String,
@@ -163,32 +195,39 @@ object Jdbc {
   /** Live-mode read that SCALES when it can: picks the table's first
     * integral column as the partition key, fetches its pushed-down bounds,
     * and opens `numPartitions` range-partitioned connections — the form a
-    * large table actually leaves a server by. With no integral column it
-    * splits the first STRING column's [min, max] into lexicographic range
-    * predicates ([[stringRangePredicates]]) instead of funneling through one
-    * connection; only a table with no splittable key at all (or empty /
-    * constant-keyed) falls back to the plain read. */
+    * large table actually leaves a server by. Key preference when no
+    * integral column exists: a DATE/TIMESTAMP column partitions through the
+    * options-based temporal form ([[readPartitionedTime]]), then the first
+    * STRING column splits into lexicographic range predicates
+    * ([[stringRangePredicates]]); only a table with no splittable key at
+    * all (or empty / constant-keyed) falls back to the one-connection
+    * read. */
   def readAuto(spark: SparkSession, url: String, table: String,
       numPartitions: Int): DataFrame = {
     import org.apache.spark.sql.types._
     val plain = read(spark, url, table)
-    val partCol = plain.schema.fields.collectFirst {
-      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) => f.name
-    }
-    partCol.flatMap(c => bounds(spark, url, table, c).map((c, _))) match {
-      case Some((c, (lo, hi))) if hi > lo =>
+    def firstCol(p: DataType => Boolean): Option[String] =
+      plain.schema.fields.collectFirst { case f if p(f.dataType) => f.name }
+    val intPart = firstCol(t =>
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(t))
+      .flatMap(c => bounds(spark, url, table, c).map((c, _)))
+      .collect { case (c, (lo, hi)) if hi > lo =>
         readPartitioned(spark, url, table, c, lo, hi, numPartitions)
-      case _ =>
-        val strCol = plain.schema.fields.collectFirst {
-          case f if f.dataType == StringType => f.name
-        }
-        strCol.flatMap(c => stringBounds(spark, url, table, c).map((c, _))) match {
-          case Some((c, (lo, hi))) if lo != hi =>
-            val preds = stringRangePredicates(strKeySql(c), lo, hi, numPartitions)
-            if (preds.size > 1) readPredicated(spark, url, table, preds) else plain
-          case _ => plain
-        }
-    }
+      }
+    def timePart = firstCol(t => t == DateType || t == TimestampType)
+      .flatMap(c => timeBounds(spark, url, table, c).map((c, _)))
+      .collect { case (c, (lo, hi)) if lo != hi =>
+        readPartitionedTime(spark, url, table, c, lo, hi, numPartitions)
+      }
+    def strPart = firstCol(_ == StringType)
+      .flatMap(c => stringBounds(spark, url, table, c).map((c, _)))
+      .collect { case (c, (lo, hi)) if lo != hi =>
+        stringRangePredicates(strKeySql(c), lo, hi, numPartitions)
+      }
+      .collect { case preds if preds.size > 1 =>
+        readPredicated(spark, url, table, preds)
+      }
+    intPart.orElse(timePart).orElse(strPart).getOrElse(plain)
   }
 
   /** Live-mode load (C5's write half): append/overwrite into a server table.

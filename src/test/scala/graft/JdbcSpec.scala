@@ -105,6 +105,24 @@ class JdbcSpec extends SparkTestBase {
     assert(Jdbc.stringRangePredicates("k", "a", "z", 1).isEmpty)
   }
 
+  test("readAuto partitions a timestamp-keyed table via temporal bounds") {
+    // no integral column, but a timestamp one: the temporal branch must
+    // take it (preferred over the string path — real time-series tables
+    // split naturally on their clock)
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_type")).limit(500)
+    Jdbc.write(ev, url, "events_ts")
+    val auto = Jdbc.readAuto(spark, url, "events_ts", numPartitions = 4)
+    assert(auto.rdd.getNumPartitions == 4, "timestamp key not range-partitioned")
+    val plain = Jdbc.read(spark, url, "events_ts")
+    assert(auto.count() == plain.count())
+    assert(auto.exceptAll(plain).count() == 0 && plain.exceptAll(auto).count() == 0)
+    // constant timestamp -> falls through (string branch picks event_type)
+    Jdbc.write(ev.withColumn("ts", lit("2020-01-01 00:00:00").cast("timestamp")),
+      url, "events_ts_const")
+    assert(Jdbc.readAuto(spark, url, "events_ts_const", 4).count() == plain.count())
+  }
+
   test("write probe creates and drops a real table through the connection") {
     assert(Jdbc.probeWrite(url), "probe failed on a writable live engine")
     assert(!Jdbc.listTables(url).exists(_.toUpperCase.contains("GRAFT_WRITE_PROBE")),
