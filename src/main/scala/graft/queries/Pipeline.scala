@@ -765,6 +765,36 @@ object Pipeline {
       Tables.load(s, dir, "events")
         .groupBy("event_type").agg(countDistinct("user_id").as("distinct_users"))
         .orderBy("event_type")
+    },
+
+    // st5: NATIVE session windows (session_window) — gap-merged per-user
+    // sessions as a first-class grouping, the operator w3 emulates with
+    // window functions and EventStream.sessionize with custom state. Merge
+    // rule: two events share a session iff their gap is STRICTLY below 10
+    // minutes (Spark merges on window overlap, so an exactly-10-minute gap
+    // opens a new session — the oracle's >= mirrors that edge). The
+    // streaming twin (EventStream.sessionWindowStats) is parity-proven in
+    // StreamingSpec on the same data.
+    QueryDef(
+      "st5_session_window",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |             OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      import graft.functions.Portable.dsum
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 4).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
     }
   )
 }

@@ -70,6 +70,19 @@ object EventStream {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** NATIVE session windows over the stream: gap-merged per-user sessions
+    * as a first-class grouping (the state-backed form of the batch
+    * `st5_session_window` query). The watermark both bounds the session
+    * state and finalizes sessions once no event can extend them — the
+    * shape that holds on an unbounded feed where the lag-window batch
+    * formulation (w3) cannot run at all. */
+  def sessionWindowStats(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(lastTsUs: Long, sessions: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long)

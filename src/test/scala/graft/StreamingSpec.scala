@@ -73,6 +73,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("streaming session_window finalizes on the watermark and matches batch") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    // session windows stream in APPEND only: a session emits exactly once,
+    // when the watermark proves no event can extend it. Stream from a temp
+    // dir so a far-future punctuation event can advance the watermark past
+    // every real session in a second micro-batch — the emit-once-final
+    // contract, not just a snapshot compare.
+    val dir = Files.createTempDirectory("graft_sesswin")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
+    val raw = spark.readStream.schema(EventStream.rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.sessionWindowStats(raw).writeStream
+      .format("memory").queryName("sess_win_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val maxUs = Tables.load(spark, sfDir, "events")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      Seq((0L, (maxUs + 10L * 86400 * 1000000) * 1000, 999999L, "punct", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_win_out")
+      .filter(col("user_id") =!= 999999L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("checkpointed foreachBatch resumes without reprocessing (resume analog)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val processed = new java.util.concurrent.atomic.AtomicLong(0)
