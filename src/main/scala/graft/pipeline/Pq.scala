@@ -120,19 +120,21 @@ object Pq {
     * uses the same table shape over the centroid norms, giving an
     * approximate COSINE so ranking matches the exact operators' contract.
     * Output: (query_id, neighbor_id, adc_cosine, rank). */
-  def adcTopK(codes: DataFrame, books: Seq[Codebook], queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, m: Int, dim: Int): DataFrame = {
-    val spark = codes.sparkSession
+  /** Per-query ADC lookup tables: (query_id, qn, lut, nlut) where
+    * `lut[sub][code]` is the EXACT sub-dot-product of the query's subvector
+    * against that codebook centroid and `nlut` its squared norm — m·k
+    * doubles per query, the whole table broadcast-sized. */
+  private def queryLuts(queries: DataFrame, books: Seq[Codebook],
+      idCol: String, vecCol: String, m: Int, dim: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val centDF = broadcast(books
       .map(b => (b.sub, b.code, b.centroid, b.centroid.map(x => x * x).sum))
       .toDF("sub", "code", "cvec", "cnorm2"))
-    // lut rows: (query_id, qn, sub, code, pdot, pn2) -> nested arrays
-    // lut[sub][code] ordered by array_sort on the (sub|code) struct keys
     val q = subvectors(queries, idCol, vecCol, m, dim)
       .join(queries.select(col(idCol).as("id"),
         sqrt(dot(col(vecCol), col(vecCol))).as("qn")), Seq("id"))
-    val lut = q.join(centDF, Seq("sub"))
+    q.join(centDF, Seq("sub"))
       .select(col("id").as("query_id"), col("qn"), col("sub"), col("code"),
         dot(col("sv"), col("cvec")).as("pdot"), col("cnorm2"))
       .groupBy("query_id", "qn", "sub")
@@ -145,20 +147,84 @@ object Pq {
           transform(s.getField("percode"), c => c.getField("pdot"))).as("lut"),
         transform(col("persub"), s =>
           transform(s.getField("percode"), c => c.getField("cnorm2"))).as("nlut"))
-    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+  }
+
+  /** ADC score columns over a candidate set carrying (codes, lut, nlut). */
+  private def adcScore(cands: DataFrame): DataFrame = cands
+    .withColumn("adot",
+      aggregate(zip_with(col("codes"), col("lut"),
+        (c, l) => element_at(l, c + 1)), lit(0.0d), (acc, x) => acc + x))
+    .withColumn("anorm2",
+      aggregate(zip_with(col("codes"), col("nlut"),
+        (c, l) => element_at(l, c + 1)), lit(0.0d), (acc, x) => acc + x))
+    .withColumn("adc_cosine",
+      round(col("adot") / (col("qn") * sqrt(col("anorm2"))), 6))
+
+  def adcTopK(codes: DataFrame, books: Seq[Codebook], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dim: Int): DataFrame = {
+    val lut = queryLuts(queries, books, idCol, vecCol, m, dim)
+    val scored = adcScore(codes.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(lut))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adot",
-        aggregate(zip_with(col("codes"), col("lut"),
-          (c, l) => element_at(l, c + 1)), lit(0.0d), (acc, x) => acc + x))
-      .withColumn("anorm2",
-        aggregate(zip_with(col("codes"), col("nlut"),
-          (c, l) => element_at(l, c + 1)), lit(0.0d), (acc, x) => acc + x))
-      .withColumn("adc_cosine",
-        round(col("adot") / (col("qn") * sqrt(col("anorm2"))), 6))
+      .filter(col("neighbor_id") =!= col("query_id")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("adc_cosine"), asc("neighbor_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "adc_cosine", "rank")
+  }
+
+  /** IVF-PQ: the composed scale path — probe the IVF index's nprobe
+    * closest cells per query (partition-pruned read, like
+    * [[Similarity.ivfTopK]]), ADC-score ONLY the probed cells' codes via
+    * an equi-join on the cell id (never a corpus-wide cross join), keep a
+    * `shortlist`-sized candidate list per query, and exact-rerank just the
+    * shortlist against the raw vectors. At 100 TB each query touches
+    * nprobe cells of 8-byte codes plus `shortlist` raw vectors — the
+    * standard two-tier ANN cost shape. Output: (query_id, neighbor_id,
+    * cosine, rank) like the exact operators. */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      books: Seq[Codebook], queries: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, m: Int, dim: Int, k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val cent = Similarity.readCentroids(spark, indexPath)
+      .withColumnRenamed(cellCol, "cell")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(dot(col("qv"), col("centroid")) /
+        (col("qn") * Similarity.norm(col("centroid"))), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cdist"), asc("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "cell")
+    val cells = probed.select("cell").distinct().collect().map(_.get(0)).toSeq
+    // encode only the probed cells (each corpus row lives in exactly one
+    // cell, so the cell join never duplicates a candidate)
+    val corpusProbed = Similarity.readProbedCells(spark, indexPath, cellCol, cells)
+      .select(col(idCol), col(cellCol).as("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val codes = encode(corpusProbed, idCol, "__v", books, m, dim)
+      .join(corpusProbed.select(col(idCol), col("cell")), Seq(idCol))
+    val lut = queryLuts(q.select(col("query_id").as(idCol),
+      transform(col("qv"), x => x.cast("double")).as("__v")), books, idCol, "__v", m, dim)
+    val shortlisted = adcScore(
+        codes.select(col(idCol).as("neighbor_id"), col("codes"), col("cell"))
+          .join(probed.join(broadcast(lut), Seq("query_id")), Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id")))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("adc_cosine"), asc("neighbor_id"))))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact rerank of the shortlist only
+    val exact = shortlisted
+      .join(corpusProbed.select(col(idCol).as("neighbor_id"), col("__v").as("cv")),
+        Seq("neighbor_id"))
+      .join(q.select(col("query_id"),
+        transform(col("qv"), x => x.cast("double")).as("qvd"), col("qn")), Seq("query_id"))
+      .withColumn("cosine", round(dot(col("qvd"), col("cv")) /
+        (col("qn") * Similarity.norm(col("cv"))), 6))
+    exact.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 }

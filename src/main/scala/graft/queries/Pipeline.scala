@@ -314,6 +314,24 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // sim6: IVF-PQ composed — probe the (cached, cell-partitioned) IVF
+    // index, ADC-score only the probed cells' codes, exact-rerank the
+    // shortlist. Rows-only like sim5 (the PQ codebooks aren't SQL-
+    // replayable); PipelineSpec proves the composition end-to-end on
+    // planted near-dups over a TRAINED index.
+    QueryDef.rowsOnly("sim6_ivfpq") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val idx = Similarity.ivfBuildCached(e, "embedding", "label",
+        cachedIvfDir(dir, "sim2", "cellCol=label"))
+      val ed = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val books = Pq.trainCodebooks(ed, "vec_id", "v", m = 8, k = 16, iters = 2, dim = 64)
+      Pq.ivfPqTopK(s, idx, books, e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", "label", m = 8, dim = 64, k = 5, nprobe = 4, shortlist = 25)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Sign-random-projection bucket histogram — the cosine-LSH scale path.
     QueryDef(
       "sim3_srp_buckets",

@@ -392,6 +392,24 @@ class PipelineSpec extends SparkTestBase {
         "(measured 0.278 on the deterministic seeded training)")
   }
 
+  test("IVF-PQ composition: probed ADC shortlist + exact rerank recovers planted near-dups") {
+    import graft.pipeline.Pq
+    val corpus = graft.queries.Pipeline.plantedNearDupCorpus(emb)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/ivf"
+    Similarity.ivfBuildTrained(corpus, "vec_id", "v", k = 8, iters = 2, idxDir)
+    val books = Pq.trainCodebooks(corpus, "vec_id", "v", m = 8, k = 16,
+      iters = 2, dim = 64)
+    val queries = corpus.filter(col("vec_id") >= 10000)
+    val top1 = Pq.ivfPqTopK(spark, idxDir, books, queries, "vec_id", "v",
+        "cell", m = 8, dim = 64, k = 1, nprobe = 2, shortlist = 10)
+      .filter(col("rank") === 1 && col("neighbor_id") === col("query_id") - 10000)
+      .count()
+    info(s"IVF-PQ planted-near-dup top-1 (nprobe=2, shortlist=10): $top1/50")
+    assert(top1 >= 48,
+      s"composition lost planted near-dups: $top1/50 — a >=0.9987-cosine pair " +
+        "must land in its query's first probes AND survive the ADC shortlist")
+  }
+
   test("IVF cache key is sensitive to params, build version, and corpus content") {
     import graft.queries.Pipeline.cachedIvfDir
     val a = cachedIvfDir(sfDir, "sim2", "cellCol=label")
