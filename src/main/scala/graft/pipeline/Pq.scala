@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Version tag of the PQ build path, folded into persistent cache keys
+    * (see [[Similarity.IvfBuildVersion]] for the rationale). */
+  val PqBuildVersion = 1
+
   /** One codebook entry: subspace, code id, centroid (length dim/m). */
   final case class Codebook(sub: Int, code: Int, centroid: Seq[Double])
 
@@ -89,6 +93,37 @@ object Pq {
       cents = cents.map { case (key, old) => key -> next.getOrElse(key, old) }
     }
     cents.toSeq.sortBy(_._1).map { case ((s, c), v) => Codebook(s, c, v) }
+  }
+
+  /** Build-once cache around [[trainCodebooks]]: codebooks persist as a
+    * (tiny) parquet table so repeated invocations — Verify, Bench warm-up +
+    * reps — query through the SAME trained books instead of retraining per
+    * call; `_SUCCESS` is the completeness sentinel, as with the IVF index
+    * cache. */
+  def trainCodebooksCached(corpus: => DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dim: Int, path: String,
+      spark: org.apache.spark.sql.SparkSession): Seq[Codebook] = {
+    import spark.implicits._
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      trainCodebooks(corpus, idCol, vecCol, m, k, iters, dim)
+        .map(b => (b.sub, b.code, b.centroid))
+        .toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .collect().map(r => Codebook(r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(b => (b.sub, b.code)).toSeq
+  }
+
+  /** Build-once cache around [[encode]]: the codes table persists beside
+    * the books (same sentinel), so the bench times ADC over stored codes —
+    * the actual query path — not re-encoding the corpus per call. */
+  def encodeCached(corpus: => DataFrame, idCol: String, vecCol: String,
+      books: => Seq[Codebook], m: Int, dim: Int, path: String,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      encode(corpus, idCol, vecCol, books, m, dim)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
   }
 
   /** Encode the corpus: (id, codes array<int> of length m) — one job, the
@@ -172,6 +207,25 @@ object Pq {
       .select("query_id", "neighbor_id", "adc_cosine", "rank")
   }
 
+  /** Build-once cell-partitioned codes for IVF-PQ: encode the INDEX's own
+    * corpus (it already carries the cell column) and persist (id, codes)
+    * partitioned by cell — the layout where a probed read of the CODES
+    * partition-prunes exactly like the index itself. Returns the cache
+    * path; `_SUCCESS` is the sentinel. */
+  def encodeCellsCached(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, vecCol: String, cellCol: String,
+      books: => Seq[Codebook], m: Int, dim: Int, path: String): String = {
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      val corpus = spark.read.parquet(indexPath)
+        .select(col(idCol), col(cellCol).as("cell"),
+          transform(col(vecCol), x => x.cast("double")).as("__v"))
+      encode(corpus, idCol, "__v", books, m, dim)
+        .join(corpus.select(col(idCol), col("cell")), Seq(idCol))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
+    path
+  }
+
   /** IVF-PQ: the composed scale path — probe the IVF index's nprobe
     * closest cells per query (partition-pruned read, like
     * [[Similarity.ivfTopK]]), ADC-score ONLY the probed cells' codes via
@@ -181,10 +235,13 @@ object Pq {
     * nprobe cells of 8-byte codes plus `shortlist` raw vectors — the
     * standard two-tier ANN cost shape. Output: (query_id, neighbor_id,
     * cosine, rank) like the exact operators. */
+  /** `codesPath`: a cell-partitioned codes cache from [[encodeCellsCached]]
+    * — when set, the probed codes are READ (partition-pruned on the cell
+    * literal list, like the index) instead of re-encoded per query. */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       books: Seq[Codebook], queries: DataFrame, idCol: String, vecCol: String,
       cellCol: String, m: Int, dim: Int, k: Int, nprobe: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, codesPath: Option[String] = None): DataFrame = {
     val cent = Similarity.readCentroids(spark, indexPath)
       .withColumnRenamed(cellCol, "cell")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -197,13 +254,19 @@ object Pq {
       .filter(col("crank") <= nprobe)
       .select("query_id", "cell")
     val cells = probed.select("cell").distinct().collect().map(_.get(0)).toSeq
-    // encode only the probed cells (each corpus row lives in exactly one
-    // cell, so the cell join never duplicates a candidate)
+    // codes for the probed cells only (each corpus row lives in exactly one
+    // cell, so the cell join never duplicates a candidate): read the
+    // cell-partitioned cache when present, else encode the probed subset
     val corpusProbed = Similarity.readProbedCells(spark, indexPath, cellCol, cells)
       .select(col(idCol), col(cellCol).as("cell"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val codes = encode(corpusProbed, idCol, "__v", books, m, dim)
-      .join(corpusProbed.select(col(idCol), col("cell")), Seq(idCol))
+    val codes = codesPath match {
+      case Some(p) => spark.read.parquet(p)
+        .filter(col("cell").isin(cells: _*))
+        .select(col(idCol), col("codes"), col("cell"))
+      case None => encode(corpusProbed, idCol, "__v", books, m, dim)
+        .join(corpusProbed.select(col(idCol), col("cell")), Seq(idCol))
+    }
     val lut = queryLuts(q.select(col("query_id").as(idCol),
       transform(col("qv"), x => x.cast("double")).as("__v")), books, idCol, "__v", m, dim)
     val shortlisted = adcScore(

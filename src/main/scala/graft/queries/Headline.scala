@@ -17,14 +17,16 @@ object Headline {
     * wider shapes (deep join tree q9, anti/semi stack q21) and one
     * representative per pipeline/operator family — exact dedup, MinHash
     * LSH, AllPairs Jaccard, loose- and tight-threshold embedding near-dup,
-    * IVF probe, TF-IDF, windowed agg, TopKPerKey, range join, as-of
-    * join — so a run-noise swing on any one family is attributable. */
+    * IVF probe, IVF-PQ (probe → pruned ADC → exact rerank over the cached
+    * build-once layout), TF-IDF, windowed agg, TopKPerKey, range join,
+    * as-of join — so a run-noise swing on any one family is attributable. */
   val benchNames: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_revenue",
     "q6_forecast_revenue", "q9_profit_by_nation", "q10_returned_items",
     "q18_large_orders", "q21_sole_blame",
     "d1_dedup_exact", "d2_minhash_lsh", "d4_ngram_jaccard",
     "d5_embedding_near_dup", "d8_near_dup_tight", "sim2_ivf_knn",
+    "sim6_ivfpq",
     "t5_tfidf", "st1_tumbling_window", "w5_topk_per_key",
     "rj1_range_join", "aj1_asof_join")
 

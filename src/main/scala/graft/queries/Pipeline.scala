@@ -306,8 +306,13 @@ object Pipeline {
     QueryDef.rowsOnly("sim5_pq_adc") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      val books = Pq.trainCodebooks(e, "vec_id", "v", m = 8, k = 16, iters = 2, dim = 64)
-      val codes = Pq.encode(e, "vec_id", "v", books, m = 8, dim = 64)
+      // build-once books + codes (same lifecycle as the IVF index cache):
+      // repeated calls time the ADC QUERY over the stored codes table
+      val base = cachedIvfDir(dir, "sim5", s"pq,m=8,k=16,iters=2,pqv${Pq.PqBuildVersion}")
+      val books = Pq.trainCodebooksCached(e, "vec_id", "v", m = 8, k = 16,
+        iters = 2, dim = 64, base + "_books", s)
+      val codes = Pq.encodeCached(e, "vec_id", "v", books, m = 8, dim = 64,
+        base + "_codes", s)
       Pq.adcTopK(codes, books, e.filter(col("vec_id") < 10), "vec_id", "v",
           k = 5, m = 8, dim = 64)
         .withColumn("rank", col("rank").cast("long"))
@@ -325,9 +330,19 @@ object Pipeline {
         cachedIvfDir(dir, "sim2", "cellCol=label"))
       val ed = e.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      val books = Pq.trainCodebooks(ed, "vec_id", "v", m = 8, k = 16, iters = 2, dim = 64)
+      // the full build-once IVF-PQ layout: trained books + (id, codes)
+      // persisted CELL-PARTITIONED beside the index, so the probed codes
+      // read partition-prunes exactly like the index; the query path is
+      // probe -> pruned codes read -> ADC shortlist -> exact rerank
+      val base = cachedIvfDir(dir, "sim6",
+        s"pq,m=8,k=16,iters=2,cellCol=label,pqv${Pq.PqBuildVersion}")
+      val books = Pq.trainCodebooksCached(ed, "vec_id", "v", m = 8, k = 16,
+        iters = 2, dim = 64, base + "_books", s)
+      val codesPath = Pq.encodeCellsCached(s, idx, "vec_id", "embedding",
+        "label", books, m = 8, dim = 64, base + "_cellcodes")
       Pq.ivfPqTopK(s, idx, books, e.filter(col("vec_id") < 10), "vec_id",
-          "embedding", "label", m = 8, dim = 64, k = 5, nprobe = 4, shortlist = 25)
+          "embedding", "label", m = 8, dim = 64, k = 5, nprobe = 4,
+          shortlist = 25, codesPath = Some(codesPath))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
