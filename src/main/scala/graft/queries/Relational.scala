@@ -565,6 +565,39 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // A11: CUBE grouping sets — every subtotal combination including the
+    // cross-margins ROLLUP can't express (extension family beside a10/a12).
+    QueryDef(
+      "a11_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // W6: rank-family window functions — ntile buckets and percent_rank
+    // over the per-customer spend ordering (rounded before compare; ntile
+    // and the rank fraction are integer-deterministic).
+    QueryDef(
+      "w6_ntile",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, quartile, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("o_custkey", "quartile", "o_orderkey")
+    },
+
     // ----------------------------------------------------------------- O1-O5
     // O1/O2 sort desc/asc before planning (migration.py:1656-1662,1754)
     QueryDef(

@@ -208,8 +208,15 @@ object Jdbc {
     val plain = read(spark, url, table)
     def firstCol(p: DataType => Boolean): Option[String] =
       plain.schema.fields.collectFirst { case f if p(f.dataType) => f.name }
-    val intPart = firstCol(t =>
-        Seq(ByteType, ShortType, IntegerType, LongType).contains(t))
+    // integral-valued keys include scale-0 decimals that fit a long —
+    // NUMERIC(n,0) primary keys are the common shape on the engines the
+    // reference migrates from; the range predicates Spark generates for the
+    // long bounds compare fine against the decimal column server-side
+    val intPart = firstCol {
+        case t if Seq(ByteType, ShortType, IntegerType, LongType).contains(t) => true
+        case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
+        case _ => false
+      }
       .flatMap(c => bounds(spark, url, table, c).map((c, _)))
       .collect { case (c, (lo, hi)) if hi > lo =>
         readPartitioned(spark, url, table, c, lo, hi, numPartitions)

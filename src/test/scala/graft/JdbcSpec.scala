@@ -105,6 +105,20 @@ class JdbcSpec extends SparkTestBase {
     assert(Jdbc.stringRangePredicates("k", "a", "z", 1).isEmpty)
   }
 
+  test("readAuto range-partitions a DECIMAL(p,0) key like an integral one") {
+    // NUMERIC(n,0) primary keys are the common shape on the engines the
+    // reference migrates from — they must hit the integral branch, not
+    // fall through to the string path
+    val nation = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("decimal(12,0)").as("nk"), col("n_name"))
+    Jdbc.write(nation, url, "nation_deckey")
+    val auto = Jdbc.readAuto(spark, url, "nation_deckey", numPartitions = 5)
+    assert(auto.rdd.getNumPartitions == 5, "decimal key not range-partitioned")
+    val plain = Jdbc.read(spark, url, "nation_deckey")
+    assert(auto.count() == 25)
+    assert(auto.exceptAll(plain).count() == 0 && plain.exceptAll(auto).count() == 0)
+  }
+
   test("readAuto partitions a timestamp-keyed table via temporal bounds") {
     // no integral column, but a timestamp one: the temporal branch must
     // take it (preferred over the string path — real time-series tables
