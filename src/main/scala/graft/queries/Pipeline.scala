@@ -586,6 +586,22 @@ object Pipeline {
         .orderBy("event_type")
     },
 
+    // t12: sketch-based quantiles (Greenwald-Khanna via approx_percentile)
+    // — t6's exact percentile collects every group value onto its reducer;
+    // the sketch form merges bounded summaries, the only shape that holds
+    // for a 100 TB quality-threshold scan. Rows-only (DuckDB has no GK
+    // replay); PipelineSpec bounds the error vs the exact quantiles.
+    QueryDef.rowsOnly("t12_approx_quantiles") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("lang"), graft.functions.Portable.tokenCount(col("text")).as("tok"))
+        .groupBy("lang")
+        .agg(expr("approx_percentile(tok, array(0.5, 0.9), 1000)").as("q"))
+        .select(col("lang"),
+          col("q")(0).cast("double").as("p50_approx"),
+          col("q")(1).cast("double").as("p90_approx"))
+        .orderBy("lang")
+    },
+
     // cur1: the composed curation pipeline — language gate, quality gate,
     // near-dup drop (pairwise-dominated rule: a doc is dropped when it is
     // the larger id of any >=0.8 pair), the shape of a real corpus build.

@@ -454,6 +454,24 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("approx quantiles stay within tolerance of the exact percentiles") {
+    val approx = graft.SparkEntry.queries("t12_approx_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = docs
+      .select(col("lang"), graft.functions.Portable.tokenCount(col("text")).as("tok"))
+      .groupBy("lang")
+      .agg(expr("percentile(tok, 0.5)").as("p50"), expr("percentile(tok, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, (p50, p90)) =>
+      val (a50, a90) = approx(lang)
+      assert(math.abs(a50 - p50) / p50.max(1.0) <= 0.05,
+        s"$lang p50: approx $a50 vs exact $p50")
+      assert(math.abs(a90 - p90) / p90.max(1.0) <= 0.05,
+        s"$lang p90: approx $a90 vs exact $p90")
+    }
+  }
+
   test("accumulators count processed rows (A8 running counters)") {
     val acc = spark.sparkContext.longAccumulator("tables_count")
     val li = Tables.load(spark, sfDir, "lineitem")
