@@ -134,6 +134,27 @@ object TextAnalysis {
         symbolRatio < 0.1 && badHits === 0).as("keep"))
   }
 
+  /** Corpus-level sentence-dedup census — the sentence analog of C4's
+    * repeated-line removal (Raffel et al. 2020 §2.2 drop three-sentence
+    * spans occurring more than once in the corpus): per document, how many
+    * distinct sentences it has and how many of them also occur in ANOTHER
+    * document. One shuffle on the sentence value with map-side combine; at
+    * 100 TB the census is the standard precursor to boilerplate removal. */
+  def sentenceDedupCensus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sentences = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), "[.!?]+")).as("x"))
+      .select(col("id"), trim(col("x")).as("sent"))
+      .filter(col("sent") =!= "")
+      .distinct()
+    val census = sentences.groupBy("sent")
+      .agg(countDistinct(col("id")).as("nd"))
+    sentences.join(census, Seq("sent"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_unique_sentences"),
+        sum(when(col("nd") > 1, 1).otherwise(0)).cast("long").as("n_shared_sentences"))
+      .select(col("id").as(idCol), col("n_unique_sentences"), col("n_shared_sentences"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish sub-tokens
     * (letter runs / digit runs / single symbols). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

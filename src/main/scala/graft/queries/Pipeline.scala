@@ -559,6 +559,25 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // t13: corpus-level sentence-dedup census — the sentence analog of
+    // C4's repeated-line removal; per doc, distinct sentences + how many
+    // also occur in another document. Hash-gated.
+    QueryDef(
+      "t13_sentence_dedup",
+      """WITH s AS (SELECT doc_id, trim(x) AS sent
+        |           FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS x
+        |                 FROM documents)
+        |           WHERE trim(x) <> ''),
+        |d AS (SELECT DISTINCT doc_id, sent FROM s),
+        |c AS (SELECT sent, count(DISTINCT doc_id) AS nd FROM d GROUP BY sent)
+        |SELECT doc_id, count(*) AS n_unique_sentences,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_sentences
+        |FROM d JOIN c USING (sent) GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      TextAnalysis.sentenceDedupCensus(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // t10/st4: approximate-distinct census (HLL++ sketches). At 100 TB the
     // exact forms (t4's countDistinct fingerprint census, st3's distinct
     // users) shuffle EVERY distinct value to its reducer; the sketch form
