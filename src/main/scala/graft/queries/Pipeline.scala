@@ -835,6 +835,32 @@ object Pipeline {
         .orderBy("event_type")
     },
 
+    // st6: the batch twin of the stream-stream interval join
+    // (EventStream.sameUserRecentPairs) — each event paired with the same
+    // user's events in the trailing hour. Equi-join on the user plus a
+    // range residual: one keyed shuffle, never a time-only nested loop.
+    // StreamingSpec proves stream/batch parity on the same data.
+    QueryDef(
+      "st6_stream_stream_join",
+      """SELECT a.event_id, b.event_id AS prior_event_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      val b = ev.select(col("event_id").as("prior_event_id"),
+        col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+      ev.join(b,
+          col("user_id") === col("b_user_id") &&
+            col("prior_event_id") =!= col("event_id") &&
+            col("b_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+            col("b_ts") <= col("ts"))
+        .select(col("event_id"), col("prior_event_id"))
+        .orderBy("event_id", "prior_event_id")
+    },
+
     // st5: NATIVE session windows (session_window) — gap-merged per-user
     // sessions as a first-class grouping, the operator w3 emulates with
     // window functions and EventStream.sessionize with custom state. Merge

@@ -83,6 +83,26 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream interval join (§2.10): correlate one feed with another
+    * — here each event picks up the SAME user's events from the other
+    * feed's trailing hour. Both sides are watermarked, so the join buffers
+    * only watermark+interval of state per side (the bounded-state form of
+    * a feed-to-feed correlation at 100 TB/day); matched pairs emit in
+    * append mode once both rows have arrived. */
+  def sameUserRecentPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.withWatermark("ts", "1 hour")
+    val b = right
+      .select(col("event_id").as("prior_event_id"),
+        col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(b,
+        col("user_id") === col("b_user_id") &&
+          col("prior_event_id") =!= col("event_id") &&
+          col("b_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("b_ts") <= col("ts"))
+      .select(col("event_id"), col("prior_event_id"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessionState(lastTsUs: Long, sessions: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long)

@@ -109,6 +109,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch join (bounded state)") {
+    val pairs = EventStream.sameUserRecentPairs(
+      EventStream.readStream(spark, sfDir), EventStream.readStream(spark, sfDir))
+    val q = pairs.writeStream
+      .format("memory").queryName("ss_join_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_join_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.load(spark, sfDir, "events").select("event_id", "user_id", "ts")
+    val b = ev.select(col("event_id").as("prior_event_id"),
+      col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+    val batch = ev.join(b,
+        col("user_id") === col("b_user_id") &&
+          col("prior_event_id") =!= col("event_id") &&
+          col("b_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("b_ts") <= col("ts"))
+      .select("event_id", "prior_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("checkpointed foreachBatch resumes without reprocessing (resume analog)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val processed = new java.util.concurrent.atomic.AtomicLong(0)
