@@ -136,6 +136,19 @@ class PlanSpec extends SparkTestBase {
       s"probed corpus read is not partition-pruned:\n$plan")
   }
 
+  test("sim6 IVF-PQ: probed codes read is partition-pruned; no cartesian") {
+    // the codes cache is cell-partitioned beside the index, so the ADC
+    // stage's scan must carry the probed cells as PartitionFilters —
+    // 8-byte codes or not, an unpruned codes scan is still a full corpus
+    // read at 100 TB
+    val p = planOf("sim6_ivfpq")
+    assert(!p.contains("CartesianProduct"), "cartesian in the IVF-PQ path")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [cell")),
+      s"codes read not partition-pruned:\n${p.take(4000)}")
+    assert(p.linesIterator.exists(_.contains("PartitionFilters: [label")),
+      "index corpus read not partition-pruned")
+  }
+
   test("p9: multi-predicate conjunction reaches the scan") {
     // plan toString truncates long filter lists — assert on the stable prefix
     val p = planOf("p9_conjunction")
