@@ -29,7 +29,7 @@ object Pq {
 
   /** Version tag of the PQ build path, folded into persistent cache keys
     * (see [[Similarity.IvfBuildVersion]] for the rationale). */
-  val PqBuildVersion = 1
+  val PqBuildVersion = 2
 
   /** One codebook entry: subspace, code id, centroid (length dim/m). */
   final case class Codebook(sub: Int, code: Int, centroid: Seq[Double])
@@ -126,25 +126,44 @@ object Pq {
     spark.read.parquet(path)
   }
 
-  /** Encode the corpus: (id, codes array<int> of length m) — one job, the
-    * same nearest-sub-centroid argmin as training's assign step, re-packed
-    * per vector with `codes[sub]` in subspace order. */
+  /** Encode the corpus: (id, codes array<int> of length m) — a SHUFFLE-FREE
+    * projection. The codebooks are a plan literal (m·k·(dim/m) doubles —
+    * kilobytes), and the per-subspace argmin folds over the k codes inside
+    * nested higher-order expressions, so encoding 100 TB is a map-only
+    * scan: no subvector explode, no (id, sub) exchange, no collect_list
+    * re-assembly (the earlier aggregation form shuffled m× the corpus rows
+    * twice). Ties break to the LOWER code id (strict `<` while folding
+    * ascending code order), matching the training assign's
+    * `min(struct(score, code))` semantics. */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       books: Seq[Codebook], m: Int, dim: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDF = broadcast(books
-      .map(b => (b.sub, b.code, b.centroid, b.centroid.map(x => x * x).sum))
-      .toDF("sub", "code", "cvec", "cnorm2"))
-    subvectors(corpus, idCol, vecCol, m, dim).join(centDF, Seq("sub"))
-      .withColumn("score", lit(-2.0) * dot(col("sv"), col("cvec")) + col("cnorm2"))
-      .groupBy("id", "sub")
-      .agg(min(struct(col("score"), col("code"))).as("a"))
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("a.code").as("code"))))
-        .as("sc"))
-      .select(col("id").as(idCol),
-        transform(col("sc"), s => s.getField("code")).as("codes"))
+    val subLen = dim / m
+    val k = books.map(_.code).max + 1
+    // [sub][code] -> centroid / |centroid|², in (sub, code) order
+    val bySub: Seq[Seq[Codebook]] = books.groupBy(_.sub).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.code))
+    val cents = typedLit(bySub.map(_.map(_.centroid)))
+    val norms = typedLit(bySub.map(_.map(_.centroid.map(x => x * x).sum)))
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(col(vecCol), s * subLen + 1, lit(subLen))
+      val scores = transform(sequence(lit(0), lit(k - 1)), c => {
+        val cvec = element_at(element_at(cents, s + 1), c + 1)
+        lit(-2.0) * aggregate(zip_with(sv, cvec, (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x) +
+          element_at(element_at(norms, s + 1), c + 1)
+      })
+      // single pass over the scores array with an index-carrying
+      // accumulator — each score is computed exactly once
+      aggregate(scores,
+        struct(lit(Double.MaxValue).as("best"), lit(-1).as("code"), lit(0).as("i")),
+        (acc, x) => when(x < acc.getField("best"),
+          struct(x.as("best"), acc.getField("i").as("code"),
+            (acc.getField("i") + 1).as("i")))
+          .otherwise(struct(acc.getField("best").as("best"),
+            acc.getField("code").as("code"), (acc.getField("i") + 1).as("i"))))
+        .getField("code")
+    })
+    corpus.select(col(idCol), codes.as("codes"))
   }
 
   /** ADC top-k: per query build the m×k lookup table of EXACT sub-dot

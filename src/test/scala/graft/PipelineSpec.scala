@@ -392,6 +392,30 @@ class PipelineSpec extends SparkTestBase {
         "(measured 0.278 on the deterministic seeded training)")
   }
 
+  test("shuffle-free PQ encode matches a driver-side recomputation exactly") {
+    import graft.pipeline.Pq
+    val corpus = graft.queries.Pipeline.plantedNearDupCorpus(emb)
+    val books = Pq.trainCodebooks(corpus, "vec_id", "v", m = 8, k = 16,
+      iters = 1, dim = 64)
+    val byKey = books.map(b => (b.sub, b.code) -> b.centroid).toMap
+    val got = Pq.encode(corpus.limit(20), "vec_id", "v", books, m = 8, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecs = corpus.limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val expected = (0 until 8).map { s =>
+        val sv = v.slice(s * 8, s * 8 + 8)
+        (0 until 16).minBy { c =>
+          val cv = byKey((s, c))
+          // same fold shape: -2·(q·c) + |c|², ties to the lower code (minBy)
+          (-2.0 * sv.zip(cv).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+            + cv.map(x => x * x).sum, c)
+        }
+      }
+      assert(got(id) == expected, s"vec $id: ${got(id)} != $expected")
+    }
+  }
+
   test("IVF-PQ composition: probed ADC shortlist + exact rerank recovers planted near-dups") {
     import graft.pipeline.Pq
     val corpus = graft.queries.Pipeline.plantedNearDupCorpus(emb)
