@@ -578,6 +578,22 @@ object Relational {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // A14: explicit GROUPING SETS — arbitrary subtotal combinations beyond
+    // what rollup/cube enumerate (here: per-flag, per-status, grand total).
+    // Goes through spark.sql: the grouping-sets form is SQL-only surface.
+    QueryDef(
+      "a14_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
     // W6: rank-family window functions — ntile buckets and percent_rank
     // over the per-customer spend ordering (rounded before compare; ntile
     // and the rank fraction are integer-deterministic).
