@@ -35,6 +35,37 @@ object Multimodal {
       // ??? real codec here — dimensions derived deterministically instead
       (n % 640, (n * 7) % 480, n % 16, sum)
     }
+
+    /** ??? real resampler here — the output byte budget (outW·outH) and
+      * determinism stand in for the pixel math. */
+    def resample(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(outW * outH, 0))
+      if (payload.nonEmpty) {
+        var i = 0
+        while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+      }
+      out
+    }
+
+    /** ??? real feature extractor here — `dims` chunk-mean bytes scaled to
+      * [0,1] stand in for the embedding model; output shape and batching
+      * are the real contract. */
+    def features(payload: Array[Byte], dims: Int): Array[Float] = {
+      val out = new Array[Float](dims)
+      if (payload.isEmpty) return out
+      val chunk = math.max(payload.length / dims, 1)
+      var d = 0
+      while (d < dims) {
+        var s = 0L
+        var i = d * chunk
+        val end = math.min(payload.length, i + chunk)
+        val n = math.max(end - i, 1)
+        while (i < end) { s += payload(i) & 0xff; i += 1 }
+        out(d) = s.toFloat / n / 255f
+        d += 1
+      }
+      out
+    }
   }
 
   /** Build a media table from the documents table: payload = utf-8 bytes of
@@ -71,6 +102,41 @@ object Multimodal {
         sum(col("n_bytes")).cast("long").as("total_bytes"),
         max(col("n_bytes")).cast("long").as("max_bytes"))
       .orderBy("kind")
+
+  /** A resized media row: bounded dimensions + the resampled payload. */
+  final case class ResizedMedia(media_id: Long, kind: String,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize stage: bound each payload to `maxW`×`maxH` — the batch
+    * boundary, output schema, and per-row byte budget (outW·outH) are the
+    * real contract; the pixel resampling is the documented [[FakeCodec]]
+    * seam. Integer-only dimension math so the oracle replays it. */
+  def resizeBatch(media: DataFrame, maxW: Int = 224, maxH: Int = 224): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, _) = FakeCodec.decode(r.payload)
+        val (ow, oh) = (math.min(w, maxW), math.min(h, maxH))
+        ResizedMedia(r.media_id, r.kind, ow, oh, FakeCodec.resample(r.payload, ow, oh))
+      }
+    }
+  }
+
+  /** Per-media feature vector. `features` feeds the similarity operators
+    * directly (brute-force / IVF / PQ all take an `array<float>` column). */
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** Feature-extract stage: payload → `dims`-dimensional embedding through
+    * the per-partition codec boundary; composition with the ANN surface is
+    * spec-proven (media → features → KNN). */
+  def featureBatch(media: DataFrame, dims: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map(r => MediaFeatures(r.media_id, FakeCodec.features(r.payload, dims)))
+    }
+  }
 
   /** Frame-sample stage: explode a deterministic frame index per video,
     * keeping Spark-side fan-out semantics (one row per sampled frame). */

@@ -713,6 +713,25 @@ object Pipeline {
         .orderBy("media_id", "frame_idx")
     },
 
+    // m4: resize-stage metadata — dimensions bounded to 224×224 and the
+    // resampled payload's byte budget (outW·outH); integer-only math, so
+    // DuckDB replays the whole stage from the document text bytes.
+    QueryDef(
+      "m4_resize_meta",
+      """SELECT doc_id AS media_id,
+        |  CAST(least(octet_length(encode(text)) % 640, 224) AS INTEGER) AS out_w,
+        |  CAST(least((octet_length(encode(text)) * 7) % 480, 224) AS INTEGER) AS out_h,
+        |  CAST(least(octet_length(encode(text)) % 640, 224) *
+        |       least((octet_length(encode(text)) * 7) % 480, 224) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.resizeBatch(
+          Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width").as("out_w"), col("height").as("out_h"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("media_id")
+    },
+
     // ---------------------------------------------------------- streaming
     // Tumbling-window aggregation — batch form of the Structured Streaming
     // query in graft.streaming (same plan modulo the watermark).

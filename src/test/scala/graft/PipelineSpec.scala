@@ -343,6 +343,26 @@ class PipelineSpec extends SparkTestBase {
     assert(joined.count() == docs.count())
   }
 
+  test("media features compose with the ANN surface (media -> features -> KNN)") {
+    import graft.pipeline.Similarity
+    val media = Multimodal.mediaFromDocuments(docs)
+    val feats = Multimodal.featureBatch(media, dims = 8).toDF()
+    assert(feats.count() == docs.count())
+    // every feature vector is the declared shape and range
+    val bad = feats.filter(size(col("features")) =!= 8 ||
+      exists(col("features"), f => f < 0f || f > 1f)).count()
+    assert(bad == 0, "feature vectors out of shape/range")
+    // the composition IS the point: the extracted features drive the same
+    // top-k operator the embedding corpus uses, deterministically
+    val knn = Similarity.bruteForceTopK(feats,
+      feats.filter(col("media_id") < 5), "media_id", "features", k = 3)
+    val rows = knn.collect()
+    assert(rows.length == 5 * 3)
+    val again = Similarity.bruteForceTopK(feats,
+      feats.filter(col("media_id") < 5), "media_id", "features", k = 3).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "KNN not deterministic")
+  }
+
   test("frame sampling fans out one row per sampled frame") {
     val decoded = Multimodal.decodeBatch(Multimodal.mediaFromDocuments(docs))
     val frames = Multimodal.sampleFrames(decoded, everyNth = 4)
