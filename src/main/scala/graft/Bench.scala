@@ -3,12 +3,47 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline query set on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. After an untimed smoke-scale warm-up, each query
-  * runs SPARK_GRAFT_BENCH_REPS times (default 2) at the bench scale and
-  * reports the per-query MINIMUM — single cold runs of sub-1.5 s queries
-  * swing ±20% on JVM/GC noise, which made round-over-round comparison
-  * unattributable. Results are materialized via count() of the final plan. */
+  * prints one JSON line (also written to `bench_out.json` — the printed line
+  * is long enough that log tail-capture has truncated it before; the file is
+  * the capture-proof artifact). After an untimed smoke-scale warm-up, each
+  * query runs SPARK_GRAFT_BENCH_REPS times (default 3) at the bench scale
+  * and reports the per-query MINIMUM — single cold runs of sub-1.5 s
+  * queries swing ±20% on JVM/GC noise, which made round-over-round
+  * comparison unattributable. Results are materialized via count() of the
+  * final plan.
+  *
+  * Contended-box detection: a rep spread wider than [[NoisyRatio]] (max/min
+  * over the reps of one query) is the signature of environment interference,
+  * not code — rep 2 fast while reps 1/3 are 50× slower can't be a plan
+  * property. Such queries re-run one extra batch of reps (appended, min
+  * still wins) and any query whose spread STAYS pathological is named in the
+  * `"noisy"` output field, so a poisoned artifact says so instead of lying.
+  */
 object Bench {
+
+  /** Max/min rep-time ratio beyond which a query's timing is considered
+    * environment-poisoned and re-measured. */
+  val NoisyRatio = 5.0
+
+  /** Mask run-specific artifacts out of a canonicalized plan string so its
+    * hash is stable across sessions and machines: scan Locations embed
+    * absolute paths (the IVF/PQ cache dirs embed a content-keyed hash, and
+    * tmp/warehouse paths differ per host), and localCheckpoint scans print
+    * the session-scoped RDD id (`Scan ExistingRDD[...]` arguments). A
+    * changed sha then means a REAL plan change, which is the one thing the
+    * fingerprint exists to attribute. */
+  private[graft] def maskPlan(plan: String): String =
+    plan
+      // InMemoryFileIndex(1 paths)[file:/tmp/...] and any file:/ URI token
+      .replaceAll("""InMemoryFileIndex\([^)]*\)\[[^\]]*\]""", "InMemoryFileIndex[MASKED]")
+      .replaceAll("""file:/[^\s\]),]*""", "file:MASKED")
+      // absolute fs paths outside a file: URI (e.g. PartitionPath logs)
+      .replaceAll("""(?<=[\[\s(,])/(?:tmp|root|home)/[^\s\]),]*""", "/MASKED")
+      // expression ids: canonicalization zeroes them in the main tree, but a
+      // SubqueryAdaptiveBroadcast (DPP) embeds its build plan UNcanonicalized,
+      // and raw exprIds are session-allocation order — pure noise
+      .replaceAll("""#\d+""", "#N")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -32,23 +67,35 @@ object Bench {
     // a failed query reports null and is EXCLUDED from the total instead of
     // skewing it with a partial/negative wall time
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results: Seq[(String, Seq[Double])] = queries.Headline.benchNames.map { name =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fns(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
-      }
-      name -> times
+    def timeReps(name: String, n: Int): Seq[Double] = (1 to n).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try { fns(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
+    def spread(ts: Seq[Double]): Double =
+      if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
+    val firstPass: Seq[(String, Seq[Double])] =
+      queries.Headline.benchNames.map(name => name -> timeReps(name, reps))
+    // contended-box guard: one extra batch for pathological spreads; the
+    // appended reps keep the evidence (rep_times shows both batches)
+    val results: Seq[(String, Seq[Double])] = firstPass.map { case (name, ts) =>
+      if (spread(ts) > NoisyRatio) name -> (ts ++ timeReps(name, reps))
+      else name -> ts
+    }
+    val noisy = results.collect {
+      case (name, ts) if spread(ts) > NoisyRatio => "\"" + name + "\""
+    }.mkString("[", ",", "]")
     // per-query physical-plan fingerprint: md5 of the CANONICALIZED plan
-    // (expression-id-free), so plan drift across rounds is
-    // machine-attributable — an unchanged plan_sha with a changed time is
-    // environment; a changed plan_sha is a real plan change. Planning only,
-    // no execution.
+    // (expression-id-free) with run-local artifacts masked (scan paths,
+    // checkpoint RDD args — see maskPlan), so plan drift across rounds is
+    // machine-attributable: an unchanged plan_sha with a changed time is
+    // environment; a changed plan_sha is a real plan change. This is
+    // planning work only for most queries, but index-backed ones (sim2,
+    // sim6) run their small probe/build jobs while constructing the frame.
     val planSha = queries.Headline.benchNames.map { name =>
       val sha = try {
-        val plan = fns(name)(spark, sfDir).queryExecution.executedPlan
-          .canonicalized.toString
+        val plan = maskPlan(fns(name)(spark, sfDir).queryExecution.executedPlan
+          .canonicalized.toString)
         java.security.MessageDigest.getInstance("MD5")
           .digest(plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .take(6).map(b => f"$b%02x").mkString
@@ -57,8 +104,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // headline stays min-of-reps; rep_times persists EVERY rep so a
     // round-over-round swing is attributable (did the reps agree, or did
-    // one environmental outlier poison the min?) — the r04→r05 q3/q5 jump
-    // was undiagnosable precisely because only the min survived
+    // one environmental outlier poison the min?)
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.nonEmpty) ts.min.toString else "null")
     }.mkString("{", ",", "}")
@@ -68,7 +114,12 @@ object Bench {
     val total = results.filter(_._2.nonEmpty).map(_._2.min).sum
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repTimes,"plan_sha":$planSha,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repTimes,"plan_sha":$planSha,"noisy":$noisy,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    // capture-proof artifact first, THEN the stdout line the driver tails
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

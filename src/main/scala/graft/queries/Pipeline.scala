@@ -38,24 +38,49 @@ object Pipeline {
   // repeated invocations — Verify, Bench warm-up + reps — reuse the
   // build-once index instead of rebuilding it each call. The key folds in
   // the CANONICAL corpus path, a cheap content fingerprint of the embeddings
-  // table (file names + sizes + mtimes — no data read), the index params,
-  // and the builder code version: changed data at the same path, a param
-  // tweak, or a builder change each produce a NEW key, so a stale on-disk
-  // index can never silently serve across rounds or testdata regenerations.
+  // table (file names + sizes — no data read, and deliberately NO mtimes: a
+  // content-identical regeneration must reuse the index, not orphan it),
+  // the index params, and the builder code version: changed data at the
+  // same path, a param tweak, or a builder change each produce a NEW key,
+  // so a stale on-disk index can never silently serve across rounds.
+  //
+  // Eviction: cache dirs are named `<tag>-<tier>-<key>` where tier is the
+  // corpus dir's basename (sf0.001 / sf0.01 / sf0.1 legitimately coexist —
+  // Bench warms up on the smoke tier then runs the bench tier). When a key
+  // is computed, SIBLING generations of the same tag+tier with a different
+  // key are stale by construction (same corpus path, changed content or
+  // params) and are swept, so the cache holds at most one generation per
+  // (tag, tier) instead of accumulating one per testdata touch.
   private[graft] def cachedIvfDir(sfDir: String, tag: String,
       params: String): String = {
     val canonical = new java.io.File(sfDir).getCanonicalPath
+    val tier = new java.io.File(canonical).getName
     val table = new java.io.File(canonical, "embeddings.parquet")
     val content =
       if (table.isDirectory)
         table.listFiles().sortBy(_.getName)
-          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
-      else s"${table.length}:${table.lastModified}"
+          .map(f => s"${f.getName}:${f.length}").mkString(",")
+      else s"${table.length}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$canonical|$content|$params|v${Similarity.IvfBuildVersion}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cache/$tag-$key/ivf"
+    val root = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cache")
+    val current = s"$tag-$tier-$key"
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName != current &&
+        (d.getName.startsWith(s"$tag-$tier-") ||
+          // pre-tiered naming (<tag>-<16 hex>): every such generation is
+          // orphaned by the rename — sweep them on first contact
+          d.getName.matches(s"\\Q$tag\\E-[0-9a-f]{16}")))
+      .foreach(deleteRecursively)
+    s"${root.getPath}/$current/ivf"
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** The d8 fixture corpus: embeddings (as double vectors, column `v`) plus

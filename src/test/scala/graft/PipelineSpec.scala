@@ -454,23 +454,33 @@ class PipelineSpec extends SparkTestBase {
         "must land in its query's first probes AND survive the ADC shortlist")
   }
 
-  test("IVF cache key is sensitive to params, build version, and corpus content") {
+  test("IVF cache key is sensitive to params and content, stable under re-touch, and evicts stale siblings") {
     import graft.queries.Pipeline.cachedIvfDir
     val a = cachedIvfDir(sfDir, "sim2", "cellCol=label")
     assert(a == cachedIvfDir(sfDir, "sim2", "cellCol=label"), "key not deterministic")
     assert(a != cachedIvfDir(sfDir, "sim2", "cellCol=kmeans,k=8,iters=3"),
       "a param change must produce a new cache key (stale-index hazard)")
-    // changed corpus content at the same path -> new key: copy the corpus,
-    // key it, then touch the embeddings table's mtime
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfkey")
     val tbl = dir.resolve("embeddings.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"), tbl)
-    val k1 = cachedIvfDir(dir.toString, "sim2", "cellCol=label")
+    val k1 = cachedIvfDir(dir.toString, "graftkeytest", "cellCol=label")
+    // a content-identical mtime touch must REUSE the key — mtime-keyed
+    // fingerprints orphaned a full index generation per testdata touch
     assert(new java.io.File(tbl.toString)
       .setLastModified(System.currentTimeMillis() + 60000))
-    assert(k1 != cachedIvfDir(dir.toString, "sim2", "cellCol=label"),
-      "changed data at the same path must invalidate the cached index")
+    assert(k1 == cachedIvfDir(dir.toString, "graftkeytest", "cellCol=label"),
+      "a same-content re-touch must reuse the cached index, not orphan it")
+    // changed CONTENT at the same path -> new key, and the stale sibling
+    // generation of the same tag+tier is swept on the next key computation
+    val stale = new java.io.File(k1).getParentFile
+    java.nio.file.Files.createDirectories(stale.toPath)
+    java.nio.file.Files.write(tbl,
+      java.util.Arrays.copyOf(java.nio.file.Files.readAllBytes(tbl), 100))
+    val k2 = cachedIvfDir(dir.toString, "graftkeytest", "cellCol=label")
+    assert(k1 != k2, "changed data at the same path must invalidate the cached index")
+    assert(!stale.exists(),
+      s"stale generation ${stale.getName} must be evicted when the key moves")
   }
 
   test("approx-distinct census stays within the sketch's error bound of the exact census") {

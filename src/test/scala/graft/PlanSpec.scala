@@ -155,4 +155,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_linestatus)"),
       "conjunction not pushed")
   }
+
+  test("Bench.maskPlan removes session artifacts but keeps plan structure") {
+    // the three drift sources observed across sessions: scan file paths,
+    // the IVF cache dir's content-keyed hash, and raw exprIds inside a DPP
+    // SubqueryAdaptiveBroadcast's uncanonicalized build plan
+    val a = Bench.maskPlan(
+      "FileScan parquet [v#123] Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_ivf_cache/sim2-aaaa1111/ivf]\n" +
+        "SubqueryAdaptiveBroadcast dpp, [0], true, Project [query_id#161L]")
+    val b = Bench.maskPlan(
+      "FileScan parquet [v#7] Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_ivf_cache/sim2-bbbb2222/ivf]\n" +
+        "SubqueryAdaptiveBroadcast dpp, [0], true, Project [query_id#116L]")
+    assert(a == b, s"masked plans must agree:\n$a\n$b")
+    // a REAL plan change must still flip the masked string
+    assert(Bench.maskPlan("BroadcastHashJoin [k#1]") !=
+      Bench.maskPlan("SortMergeJoin [k#1]"))
+  }
 }
