@@ -113,10 +113,13 @@ object Loader {
     // DROP+RENAME promote below is not atomic, so a crash between the two
     // leaves the only committed copy in the staging table. Finish the rename
     // before reloading — otherwise a verify failure in THIS run would drop
-    // the staging copy and leave the table missing entirely.
-    val existing = Jdbc.listTables(url).map(_.toUpperCase).toSet
+    // the staging copy and leave the table missing entirely. The existence
+    // check is scoped to the connection's CURRENT schema (the one the
+    // unqualified names below resolve in) — a same-named table elsewhere
+    // must neither trigger nor suppress the recovery rename.
+    val existing = Jdbc.listTablesInCurrentSchema(url).map(_.toUpperCase).toSet
     if (!existing.contains(table.toUpperCase) && existing.contains(staging.toUpperCase))
-      Jdbc.execute(url, s"RENAME TABLE $staging TO $table")
+      Jdbc.renameTable(url, staging, table)
     Jdbc.write(df, url, staging, SaveMode.Overwrite)
     val loaded = Jdbc.read(spark, url, staging).count()
     if (loaded != expected) {
@@ -125,7 +128,7 @@ object Loader {
         detail = s"count mismatch: loaded $loaded, expected $expected")
     } else {
       Jdbc.execute(url, s"DROP TABLE $table", ignoreMissingTable = true)
-      Jdbc.execute(url, s"RENAME TABLE $staging TO $table")
+      Jdbc.renameTable(url, staging, table)
       LoadResult(table, expected, loaded, ok = true)
     }
   }

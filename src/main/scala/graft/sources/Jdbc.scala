@@ -33,9 +33,14 @@ object Jdbc {
         System.getProperty("java.io.tmpdir") + "/derby.log")
   }
 
+  /** Shared connection properties for EVERY JDBC entry point — credentials
+    * or a driver class would land here. The options-based readers apply the
+    * same map ([[readPartitionedTime]]) so no live-mode path diverges. */
+  private def propsMap: Map[String, String] = Map.empty
+
   private def props(extra: (String, String)*): Properties = {
     val p = new Properties()
-    extra.foreach { case (k, v) => p.setProperty(k, v) }
+    (propsMap ++ extra).foreach { case (k, v) => p.setProperty(k, v) }
     p
   }
 
@@ -113,6 +118,7 @@ object Jdbc {
       numPartitions: Int): DataFrame = {
     quietDerby
     spark.read.format("jdbc")
+      .options(propsMap) // same connection properties as every other entry point
       .option("url", url)
       .option("dbtable", table)
       .option("partitionColumn", partitionCol)
@@ -122,14 +128,15 @@ object Jdbc {
       .load()
   }
 
-  /** Pushed-down [min, max] of a STRING column — same single-row remote
-    * aggregate shape as [[bounds]], through [[strKeySql]]'s cast. */
+  /** Pushed-down [min, max] of a string-comparable key EXPRESSION — same
+    * single-row remote aggregate shape as [[bounds]]. `keySql` is the
+    * verbatim SQL the key is read through ([[strKeySql]] / [[decKeySql]]'s
+    * LOB-safe casts). */
   def stringBounds(spark: SparkSession, url: String, table: String,
-      column: String): Option[(String, String)] = {
+      keySql: String): Option[(String, String)] = {
     quietDerby
-    val k = strKeySql(column)
     val r = spark.read.jdbc(url,
-      s"(SELECT MIN($k) AS lo, MAX($k) AS hi FROM $table) sbounds_q",
+      s"(SELECT MIN($keySql) AS lo, MAX($keySql) AS hi FROM $table) sbounds_q",
       props()).head()
     if (r.isNullAt(0) || r.isNullAt(1)) None
     else Some((r.getString(0), r.getString(1)))
@@ -147,11 +154,15 @@ object Jdbc {
     * partition-union correctness needs just a consistently ORDERED boundary
     * list (each row matches exactly one range for any total order the engine
     * applies consistently), which the sort below guarantees under binary-ish
-    * collations (Derby UCS_BASIC; exotic case-folding collations that order
-    * the literals differently than the driver did are out of scope and
-    * documented here). NULL keys ride the first partition. `keySql` is the
-    * verbatim SQL expression the key is compared through (a quoted column,
-    * or [[strKeySql]]'s LOB-safe cast). */
+    * collations (Derby UCS_BASIC). A case-folding server collation that
+    * orders the boundary literals differently than the driver's UTF-16 sort
+    * COULD double- or zero-count boundary rows — which is why [[readAuto]]
+    * reconciles every predicated read against pushed-down server counts
+    * ([[predicatesCoverExactly]]) and falls back to the one-connection read
+    * on mismatch, instead of letting a duplicated extract legitimize itself
+    * through the manifest. NULL keys ride the first partition. `keySql` is
+    * the verbatim SQL expression the key is compared through (a quoted
+    * column, or [[strKeySql]]'s LOB-safe cast). */
   def stringRangePredicates(keySql: String, lo: String, hi: String,
       n: Int, depth: Int = 3): Seq[String] = {
     require(n > 0 && depth > 0)
@@ -192,22 +203,72 @@ object Jdbc {
     spark.read.jdbc(url, table, predicates.toArray, props())
   }
 
+  /** Server-side reconciliation of a predicate partition: the sum of
+    * pushed-down per-predicate COUNT(*)s must equal the table's COUNT(*).
+    * This is the guard the string/decimal range paths run before extracting
+    * through predicates: a server collation that orders the boundary
+    * literals differently than the driver's sort would make rows match two
+    * predicates (extracted twice) or none (lost) — and because the manifest
+    * records the observed count and the load verifies against the manifest,
+    * that corruption would otherwise survive the whole verification chain.
+    * Cost: `predicates.size + 1` single-row server aggregates, nothing
+    * data-sized crosses the wire. */
+  private[graft] def predicatesCoverExactly(spark: SparkSession, url: String,
+      table: String, predicates: Seq[String]): Boolean = {
+    quietDerby
+    val total = count(spark, url, table)
+    val perPred = predicates.map { p =>
+      spark.read.jdbc(url, s"(SELECT COUNT(*) AS n FROM $table WHERE $p) pc_q", props())
+        .head().getAs[Number](0).longValue()
+    }
+    perPred.sum == total
+  }
+
+  /** The SQL key expression a wide DECIMAL(p>18, 0) partition key is read
+    * and compared through: a cast to CHAR, not VARCHAR — SQL's cast matrix
+    * (and Derby's enforcement of it) allows numeric→CHAR but not
+    * numeric→VARCHAR. Lexicographic order over the cast is NOT numeric
+    * order; it doesn't need to be — range-predicate correctness only needs
+    * the server to apply one consistent total order to boundaries it
+    * computed itself (min/max/interpolations of the same expression), and
+    * the count reconciliation guards the rest. 44 chars covers sign + 38
+    * digits (the widest DECIMAL Spark models) with headroom. */
+  private def decKeySql(column: String): String =
+    s"""CAST("$column" AS CHAR(44))"""
+
   /** Live-mode read that SCALES when it can: picks the table's first
     * integral column as the partition key, fetches its pushed-down bounds,
     * and opens `numPartitions` range-partitioned connections — the form a
     * large table actually leaves a server by. Key preference when no
-    * integral column exists: a DATE/TIMESTAMP column partitions through the
-    * options-based temporal form ([[readPartitionedTime]]), then the first
-    * STRING column splits into lexicographic range predicates
+    * integral column exists: a DECIMAL(p>18, 0) key (too wide for the
+    * long-bounds form) splits into range predicates over its string cast,
+    * then a DATE/TIMESTAMP column partitions through the options-based
+    * temporal form ([[readPartitionedTime]]), then the first STRING column
+    * splits into lexicographic range predicates
     * ([[stringRangePredicates]]); only a table with no splittable key at
-    * all (or empty / constant-keyed) falls back to the one-connection
-    * read. */
+    * all (or empty / constant-keyed) falls back to the one-connection read.
+    * Every predicated split is reconciled against pushed-down server counts
+    * before use ([[predicatesCoverExactly]]) — a collation-order mismatch
+    * degrades to the correct one-connection read instead of extracting
+    * boundary rows twice. */
   def readAuto(spark: SparkSession, url: String, table: String,
       numPartitions: Int): DataFrame = {
     import org.apache.spark.sql.types._
     val plain = read(spark, url, table)
     def firstCol(p: DataType => Boolean): Option[String] =
       plain.schema.fields.collectFirst { case f if p(f.dataType) => f.name }
+    // a predicated split is used only when it parallelizes (>1 predicate)
+    // AND the server's counts confirm the predicates partition the table
+    def predicated(keySql: String): Option[DataFrame] =
+      Some(keySql)
+        .flatMap(k => stringBounds(spark, url, table, k).map((k, _)))
+        .collect { case (k, (lo, hi)) if lo != hi =>
+          stringRangePredicates(k, lo, hi, numPartitions)
+        }
+        .collect { case preds if preds.size > 1 &&
+            predicatesCoverExactly(spark, url, table, preds) =>
+          readPredicated(spark, url, table, preds)
+        }
     // integral-valued keys include scale-0 decimals that fit a long —
     // NUMERIC(n,0) primary keys are the common shape on the engines the
     // reference migrates from; the range predicates Spark generates for the
@@ -221,20 +282,19 @@ object Jdbc {
       .collect { case (c, (lo, hi)) if hi > lo =>
         readPartitioned(spark, url, table, c, lo, hi, numPartitions)
       }
+    // DECIMAL(p>18, 0) keys overflow the long-bounds form: split on the
+    // string-cast key instead of funneling through one connection
+    def decPart = firstCol {
+        case d: DecimalType if d.scale == 0 && d.precision > 18 => true
+        case _ => false
+      }.flatMap(c => predicated(decKeySql(c)))
     def timePart = firstCol(t => t == DateType || t == TimestampType)
       .flatMap(c => timeBounds(spark, url, table, c).map((c, _)))
       .collect { case (c, (lo, hi)) if lo != hi =>
         readPartitionedTime(spark, url, table, c, lo, hi, numPartitions)
       }
-    def strPart = firstCol(_ == StringType)
-      .flatMap(c => stringBounds(spark, url, table, c).map((c, _)))
-      .collect { case (c, (lo, hi)) if lo != hi =>
-        stringRangePredicates(strKeySql(c), lo, hi, numPartitions)
-      }
-      .collect { case preds if preds.size > 1 =>
-        readPredicated(spark, url, table, preds)
-      }
-    intPart.orElse(timePart).orElse(strPart).getOrElse(plain)
+    def strPart = firstCol(_ == StringType).flatMap(c => predicated(strKeySql(c)))
+    intPart.orElse(decPart).orElse(timePart).orElse(strPart).getOrElse(plain)
   }
 
   /** Live-mode load (C5's write half): append/overwrite into a server table.
@@ -264,6 +324,45 @@ object Jdbc {
       }
       buf.toSeq
     } finally conn.close()
+  }
+
+  /** Tables visible in the CONNECTION'S CURRENT schema only — the existence
+    * probe the load promote/recovery path needs. [[listTables]]'s all-schema
+    * scan would let a same-named table in ANOTHER schema trigger (or
+    * suppress) an unqualified RENAME against the wrong object. Falls back to
+    * the all-schema scan only when the driver cannot report its current
+    * schema. */
+  def listTablesInCurrentSchema(url: String): Seq[String] = {
+    quietDerby
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val schema = try Option(conn.getSchema) catch { case _: Throwable => None }
+      val rs = conn.getMetaData.getTables(null, schema.orNull, "%", Array("TABLE"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) {
+        val schem = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+        if (!schem.toUpperCase.startsWith("SYS")) buf += rs.getString("TABLE_NAME")
+      }
+      buf.toSeq
+    } finally conn.close()
+  }
+
+  /** Dialect-aware table rename (the promote step's swap): Derby and
+    * MySQL/MariaDB speak `RENAME TABLE a TO b`; everything else gets the
+    * more widely spoken `ALTER TABLE a RENAME TO b` (PostgreSQL, HANA,
+    * Oracle, SQLite…). Routed through the product name because no JDBC
+    * metadata capability covers rename syntax. */
+  def renameTable(url: String, from: String, to: String): Unit = {
+    quietDerby
+    val conn = java.sql.DriverManager.getConnection(url)
+    val product =
+      try conn.getMetaData.getDatabaseProductName.toLowerCase
+      finally conn.close()
+    val sql =
+      if (product.contains("derby") || product.contains("mysql") ||
+          product.contains("maria")) s"RENAME TABLE $from TO $to"
+      else s"ALTER TABLE $from RENAME TO $to"
+    execute(url, sql)
   }
 
   /** Live write-probe: CREATE and DROP a real test table through the

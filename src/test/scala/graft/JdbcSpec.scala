@@ -119,6 +119,51 @@ class JdbcSpec extends SparkTestBase {
     assert(auto.exceptAll(plain).count() == 0 && plain.exceptAll(auto).count() == 0)
   }
 
+  test("readAuto splits a DECIMAL(20,0) key into reconciled range predicates") {
+    import spark.implicits._
+    // precision > 18 overflows the long-bounds form — the old cap funneled
+    // such tables through ONE connection; keys this wide are exactly the
+    // surrogate-id shape big IQ tables carry
+    val rows = (1 to 40)
+      .map(i => (BigDecimal(s"98765432109876543${210 + i}"), s"payload-$i"))
+      .toDF("big_id", "val")
+      .select(col("big_id").cast("decimal(20,0)").as("big_id"), col("val"))
+    Jdbc.write(rows, url, "dec20_keyed")
+    val auto = Jdbc.readAuto(spark, url, "dec20_keyed", numPartitions = 4)
+    assert(auto.rdd.getNumPartitions > 1, "DECIMAL(20,0) key not range-partitioned")
+    val plain = Jdbc.read(spark, url, "dec20_keyed")
+    assert(auto.count() == 40)
+    assert(auto.exceptAll(plain).count() == 0 && plain.exceptAll(auto).count() == 0)
+  }
+
+  test("predicate count reconciliation rejects overlapping splits, accepts exact ones") {
+    import spark.implicits._
+    val rows = ('a' to 'j').map(c => (s"$c-key", 1)).toDF("rk", "rv")
+    Jdbc.write(rows, url, "recon_t")
+    // an exact partition of the key space sums to the table count (the
+    // key rides the same LOB-safe cast as strKeySql (Derby stores
+    // StringType as CLOB, which rejects bare comparisons))
+    val exact = Seq("""CAST("rk" AS VARCHAR(128)) < 'f' OR "rk" IS NULL""", """CAST("rk" AS VARCHAR(128)) >= 'f'""")
+    assert(Jdbc.predicatesCoverExactly(spark, url, "recon_t", exact))
+    // overlapping ranges (the collation-mismatch failure shape: a boundary
+    // row matching two predicates) over-count and must be rejected
+    val overlap = Seq("""CAST("rk" AS VARCHAR(128)) < 'f' OR "rk" IS NULL""", """CAST("rk" AS VARCHAR(128)) >= 'e'""")
+    assert(!Jdbc.predicatesCoverExactly(spark, url, "recon_t", overlap))
+    // a gap (zero-counted rows) under-counts and must be rejected too
+    val gap = Seq("""CAST("rk" AS VARCHAR(128)) < 'c' OR "rk" IS NULL""", """CAST("rk" AS VARCHAR(128)) >= 'f'""")
+    assert(!Jdbc.predicatesCoverExactly(spark, url, "recon_t", gap))
+  }
+
+  test("renameTable routes dialect syntax and swaps the table") {
+    import spark.implicits._
+    Jdbc.write(Seq((1, "x")).toDF("a", "b"), url, "ren_src")
+    Jdbc.execute(url, "DROP TABLE ren_dst", ignoreMissingTable = true)
+    Jdbc.renameTable(url, "ren_src", "ren_dst")
+    assert(Jdbc.read(spark, url, "ren_dst").count() == 1)
+    assert(!Jdbc.listTablesInCurrentSchema(url)
+      .exists(_.equalsIgnoreCase("ren_src")))
+  }
+
   test("readAuto partitions a timestamp-keyed table via temporal bounds") {
     // no integral column, but a timestamp one: the temporal branch must
     // take it (preferred over the string path — real time-series tables
