@@ -82,7 +82,41 @@ object Bench {
       if (spread(ts) > NoisyRatio) name -> (ts ++ timeReps(name, reps))
       else name -> ts
     }
-    val noisy = results.collect {
+    // streaming throughput evidence: the two stateful shapes whose bounded-
+    // state claims were otherwise correctness-gated only — native session
+    // windows and the stream-stream interval join — timed END-TO-END
+    // (readStream → stateful op → noop sink, processAllAvailable) over the
+    // bench tier's events feed, same reps/min discipline as the batch set.
+    // The noop sink keeps the measurement about state machinery, not
+    // driver-side result collection.
+    import graft.streaming.EventStream
+    val eventsRows =
+      try graft.core.Tables.load(spark, sfDir, "events").count()
+      catch { case _: Throwable => 0L }
+    def streamOnce(build: () => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        val q = build().writeStream.format("noop")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    }
+    val streamDefs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "st5_stream_session_window" ->
+        (() => EventStream.sessionWindowStats(EventStream.readStream(spark, sfDir))),
+      "st6_stream_interval_join" ->
+        (() => EventStream.sameUserRecentPairs(
+          EventStream.readStream(spark, sfDir), EventStream.readStream(spark, sfDir))))
+    val streamResults: Seq[(String, Seq[Double])] = streamDefs.map { case (n, b) =>
+      n -> (1 to reps).flatMap(_ => streamOnce(b))
+    }
+    val streamEps = streamResults.collect { case (n, ts) if ts.nonEmpty =>
+      "\"" + n + "\":" + (eventsRows / ts.min).toLong
+    }.mkString("{", ",", "}")
+    val all = results ++ streamResults
+    val noisy = all.collect {
       case (name, ts) if spread(ts) > NoisyRatio => "\"" + name + "\""
     }.mkString("[", ",", "]")
     // per-query physical-plan fingerprint: md5 of the CANONICALIZED plan
@@ -105,16 +139,20 @@ object Bench {
     // headline stays min-of-reps; rep_times persists EVERY rep so a
     // round-over-round swing is attributable (did the reps agree, or did
     // one environmental outlier poison the min?)
-    val qs = results.map { case (k, ts) =>
+    val qs = all.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.nonEmpty) ts.min.toString else "null")
     }.mkString("{", ",", "}")
-    val repTimes = results.map { case (k, ts) =>
+    val repTimes = all.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // the headline total stays the BATCH query set (comparable round over
+    // round); the streaming micro-bench reports its own total beside the
+    // per-entry times and events/s
     val total = results.filter(_._2.nonEmpty).map(_._2.min).sum
-    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
+    val streamTotal = streamResults.filter(_._2.nonEmpty).map(_._2.min).sum
+    val failed = all.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repTimes,"plan_sha":$planSha,"noisy":$noisy,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_times":$repTimes,"plan_sha":$planSha,"noisy":$noisy,"stream_total_sec":$streamTotal,"stream_events_per_sec":$streamEps,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
     // capture-proof artifact first, THEN the stdout line the driver tails
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
