@@ -323,10 +323,15 @@ object Similarity {
     * 0.4 forces the near-all-pairs regime — an uncorrelated pair still
     * collides in ≥1 of 64 four-bit bands with p≈0.98, so candidate volume
     * approaches n²/2 and the equi-join's work is the true cost of the
-    * guarantee, not overhead. The pruning regime is TIGHT thresholds:
-    * near-dup corpora at cosine ≥0.8 with r=8-16 collide rarely for
-    * non-dups and the same plan prunes hard. Callers pick r/b per
-    * threshold; candidates are exact-rechecked either way. */
+    * guarantee, not overhead. The pruning regime is TIGHT thresholds, and
+    * r is the lever that matters at scale: candidate volume for
+    * uncorrelated pairs is ~b/2^r of all pairs — ANY fixed r is a
+    * constant-factor prune on a quadratic space, so r must grow with the
+    * corpus (the BENCH_sf1 probe measured r=8/b=32, a 1/8 constant, going
+    * 419× from a 10× corpus; r=16/b=32 cuts the rate 256× for 2× the
+    * projection cost while a cosine-0.98 pair still collides in ≥1 band
+    * with p ≈ 1-1e-6). Callers pick r/b per threshold and corpus size;
+    * candidates are exact-rechecked either way. */
   def srpBandedPairs(corpus: DataFrame, idCol: String, vecCol: String,
       bitsPerBand: Int = 4, numBands: Int = 64): DataFrame = {
     import graft.functions.Portable

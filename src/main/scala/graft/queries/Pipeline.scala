@@ -221,7 +221,13 @@ object Pipeline {
         |WHERE cs >= 0.98 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val corpus = plantedNearDupCorpus(Tables.load(s, dir, "embeddings"))
       val e = corpus.withColumn("nrm", Similarity.norm(col("v")))
-      Similarity.srpBandedPairs(corpus, "vec_id", "v", bitsPerBand = 8, numBands = 32)
+      // r=16/b=32: at threshold 0.98 a qualifying pair still collides in
+      // >=1 band with p ~ 1-1e-6, while an UNCORRELATED pair's collision
+      // rate drops to 32/2^16 ~ 0.05% of all pairs — the BENCH_sf1 probe
+      // measured the previous r=8 config (0.4% rate) going 419x from
+      // sf0.1 to sf1: a constant-factor prune on a quadratic candidate
+      // space; r=16 buys 256x more pruning for 2x projection cost
+      Similarity.srpBandedPairs(corpus, "vec_id", "v", bitsPerBand = 16, numBands = 32)
         .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
           Seq("id_a"))
         .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),

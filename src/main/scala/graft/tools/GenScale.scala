@@ -55,10 +55,15 @@ object GenScale {
 
     /** Write as the driver's single-file layout: `{out}/{name}.parquet` is
       * one FILE (the streaming source's pathGlobFilter and every loader
-      * expect that shape). */
+      * expect that shape) — but with 16 MB row groups, so the big tables
+      * are SPLITTABLE for parallel scan like real large-scale data; the
+      * source tier's single-row-group files make every scan one task,
+      * which at 6M rows turns the map side into a serial bottleneck. */
     def writeOne(df: DataFrame, name: String): Unit = {
       val staging = s"$out/_stage_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(staging)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
       val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$staging/part-*.parquet"))

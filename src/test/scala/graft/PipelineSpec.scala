@@ -189,17 +189,19 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
-  test("d8 pruning config (r=8,b=32): exact recall on planted near-dups AND subquadratic candidates") {
+  test("d8 pruning config (r=16,b=32): exact recall on planted near-dups AND subquadratic candidates") {
     // the tight-threshold regime claim, measured: every planted >=0.98 pair
-    // is recovered, while the candidate set is a small fraction of all
-    // pairs (the analytic rate for uncorrelated pairs is ~11.8%)
+    // is recovered, while the candidate set is a tiny fraction of all
+    // pairs (the analytic rate for uncorrelated pairs is 32/2^16 ~ 0.05%;
+    // the old r=8 config's 11.8% constant went 419x across the 10x sf1
+    // probe — r must grow with the corpus, see srpBandedPairs docs)
     val corpus = graft.queries.Pipeline.plantedNearDupCorpus(emb)
     val n = corpus.count()
     val allPairs = n * (n - 1) / 2
     val cand = Similarity.srpBandedPairs(corpus, "vec_id", "v",
-      bitsPerBand = 8, numBands = 32)
+      bitsPerBand = 16, numBands = 32)
     val candCount = cand.count()
-    assert(candCount < allPairs / 4,
+    assert(candCount < allPairs / 200,
       s"pruning regime not pruning: $candCount candidates of $allPairs pairs")
     val planted = emb.filter(col("vec_id") < 50)
       .select(col("vec_id")).collect()
