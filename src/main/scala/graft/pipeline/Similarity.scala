@@ -285,26 +285,39 @@ object Similarity {
         greatest(col("id_x"), col("id_y")).as("id_b"), col("cs"))
   }
 
+  /** Hyperplane `p` component `j`, driver-side: the exact arithmetic twin of
+    * the `Portable.hash32("p:j")`-seeded expression the DuckDB oracles
+    * replay — md5 hex prefix → [0, 2³²) → scaled to [-1, 1). Planes are
+    * bounded control data (≤ r·b ≈ 512 rows of `dim` doubles), so they ride
+    * the plan as a LITERAL array: signature computation becomes a map-only
+    * projection per vector instead of a ×nplanes crossJoin row-blowup
+    * feeding a groupBy shuffle — at 100 TB that removes an n×nplanes
+    * intermediate and a full aggregate exchange from the hot path. */
+  private def planeComp(p: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** All `nplanes` hyperplanes as a nested literal (1-based via element_at). */
+  private[graft] def planesLit(nplanes: Int, dim: Int = 64): Column =
+    typedlit(Seq.tabulate(nplanes, dim)(planeComp).map(_.toSeq))
+
   /** Sign-random-projection LSH bucket per vector: `nbits` hyperplanes with
     * deterministic md5-seeded ±1 components; bucket = sign bit vector.
-    * Groups near-colinear vectors; the scale path for cosine near-dup. */
+    * Groups near-colinear vectors; the scale path for cosine near-dup.
+    * Bit packing (plane p → bit p, little-endian fold) and plane values are
+    * identical to the oracle's SQL spelling, so sim3 hash-matches. */
   def srpBuckets(corpus: DataFrame, idCol: String, vecCol: String,
       nbits: Int = 16): DataFrame = {
-    import graft.functions.Portable
-    val spark = corpus.sparkSession
-    val dim = 64
-    // plane p component j = (hash32("p:j") / 2^31) - 1.0  ∈ [-1, 1)
-    val planes = spark.range(nbits).select(col("id").cast("int").as("p"))
-      .withColumn("comps", transform(sequence(lit(0), lit(dim - 1)),
-        j => Portable.hash32(concat(col("p").cast("string"), lit(":"), j.cast("string")))
-          .cast("double") / lit(2147483648.0) - 1.0))
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val pl = planesLit(nbits)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(col("id")) // spread the ×nbits projection (see bruteForceTopK)
-    v.crossJoin(broadcast(planes))
-      .withColumn("proj", dot(col("v"), col("comps")))
-      .groupBy("id")
-      .agg(sum(when(col("proj") > 0,
-        expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L)).as("bucket"))
+      .select(col("id"), aggregate(
+        sequence(lit(nbits - 1), lit(0), lit(-1)), lit(0L),
+        (acc, p) => acc * 2 + when(dot(col("v"), element_at(pl, p + 1)) > 0, 1L)
+          .otherwise(0L)).as("bucket"))
   }
 
   /** Banded SRP candidate pairs: `bitsPerBand` hyperplane sign bits per band
@@ -334,20 +347,27 @@ object Similarity {
     * candidates are exact-rechecked either way. */
   def srpBandedPairs(corpus: DataFrame, idCol: String, vecCol: String,
       bitsPerBand: Int = 4, numBands: Int = 64): DataFrame = {
-    import graft.functions.Portable
-    val spark = corpus.sparkSession
-    val dim = 64
     val nplanes = bitsPerBand * numBands
-    val planes = spark.range(nplanes).select(col("id").cast("int").as("p"))
-      .withColumn("comps", transform(sequence(lit(0), lit(dim - 1)),
-        j => Portable.hash32(concat(col("p").cast("string"), lit(":"), j.cast("string")))
-          .cast("double") / lit(2147483648.0) - 1.0))
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val pl = planesLit(nplanes)
+    // one map-only pass per vector: all nplanes sign bits, then per-band
+    // little-endian packing (plane b·r+i → bit i, the crossJoin-era layout)
+    // and posexplode to (id, band, bucket) — n·b rows with NO aggregate
+    // exchange and no ×nplanes row-blowup behind them
+    val bits = transform(sequence(lit(0), lit(nplanes - 1)),
+      p => when(dot(col("v"), element_at(pl, p + 1)) > 0, 1L).otherwise(0L))
+    val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(col("id")) // spread the ×nplanes projection (see bruteForceTopK)
-    val banded = v.crossJoin(broadcast(planes))
-      .withColumn("bit", when(dot(col("v"), col("comps")) > 0, 1L).otherwise(0L))
-      .groupBy(col("id"), (col("p") / bitsPerBand).cast("int").as("band"))
-      .agg(sum(expr(s"shiftleft(bit, p % $bitsPerBand)")).as("bucket"))
+      .select(col("id"), bits.as("bits"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(numBands - 1)), b =>
+          aggregate(sequence(lit(bitsPerBand - 1), lit(0), lit(-1)), lit(0L),
+            (acc, i) => acc * 2 +
+              element_at(col("bits"), b * bitsPerBand + i + 1)))))
+      .toDF("id", "band", "bucket")
+      // materialize once: the self-join consumes the band table twice and
+      // would otherwise re-run the ×nplanes projection per side (same
+      // rationale as minhashLshPairs' bucket checkpoint); n·b small rows
+      .localCheckpoint()
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
