@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g default, measured not guessed: an A/B on the sf1 probe (d4) showed
+  // a 16g heap makes the query 5-10x SLOWER (150-306 s vs 17-30 s at 8g) —
+  // Spark's unified memory grows with the heap, operator state balloons to
+  // fill it, and G1 collapses collecting it; serialized or disk-only
+  // checkpoint storage did not rescue the large heap, so the heap size
+  // itself is the knob. The smaller heap spills earlier to fast local disk
+  // and stays flat across reps. SPARK_DRIVER_MEM still overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
