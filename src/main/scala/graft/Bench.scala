@@ -64,6 +64,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fns = SparkEntry.queries
+    // optional name filter (dev loop / scale probes — e.g. BENCH_sf10 runs
+    // only the subquadratic set, leaving out the quadratic-by-spec d5 and
+    // the documented-regime d4); the driver never sets it → full set
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     // untimed warm-up, two passes: the smoke scale first (JIT, codegen
     // cache, parquet footer readers), then ONE pass at the bench tier
     // itself so build-once artifacts (IVF/PQ index caches) are built
@@ -72,7 +78,7 @@ object Bench {
     // the contention guard for what is really amortized-build cost
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     Seq(warmupDir, sfDir).foreach { dir =>
-      queries.Headline.benchNames.foreach { name =>
+      queries.Headline.benchNames.filter(keep).foreach { name =>
         try { fns(name)(spark, dir).count() }
         catch { case _: Throwable => () }
       }
@@ -88,7 +94,7 @@ object Bench {
     def spread(ts: Seq[Double]): Double =
       if (ts.size < 2 || ts.min <= 0) 1.0 else ts.max / ts.min
     val firstPass: Seq[(String, Seq[Double])] =
-      queries.Headline.benchNames.map(name => name -> timeReps(name, reps))
+      queries.Headline.benchNames.filter(keep).map(name => name -> timeReps(name, reps))
     // contended-box guard: one extra batch for pathological spreads; the
     // appended reps keep the evidence (rep_times shows both batches)
     val results: Seq[(String, Seq[Double])] = firstPass.map { case (name, ts) =>
@@ -122,9 +128,10 @@ object Bench {
       "st6_stream_interval_join" ->
         (() => EventStream.sameUserRecentPairs(
           EventStream.readStream(spark, sfDir), EventStream.readStream(spark, sfDir))))
-    val streamResults: Seq[(String, Seq[Double])] = streamDefs.map { case (n, b) =>
-      n -> (1 to reps).flatMap(_ => streamOnce(b))
-    }
+    val streamResults: Seq[(String, Seq[Double])] =
+      streamDefs.filter(d => keep(d._1)).map { case (n, b) =>
+        n -> (1 to reps).flatMap(_ => streamOnce(b))
+      }
     val streamEps = streamResults.collect { case (n, ts) if ts.nonEmpty =>
       "\"" + n + "\":" + (eventsRows / ts.min).toLong
     }.mkString("{", ",", "}")
@@ -139,7 +146,7 @@ object Bench {
     // environment; a changed plan_sha is a real plan change. This is
     // planning work only for most queries, but index-backed ones (sim2,
     // sim6) run their small probe/build jobs while constructing the frame.
-    val planSha = queries.Headline.benchNames.map { name =>
+    val planSha = queries.Headline.benchNames.filter(keep).map { name =>
       val sha = try {
         val plan = maskPlan(fns(name)(spark, sfDir).queryExecution.executedPlan
           .canonicalized.toString)
