@@ -53,6 +53,13 @@ object Portable {
   def sqlHash60(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** The VARCHAR hop is load-bearing: DuckDB's direct DECIMAL→DOUBLE cast
+    * double-rounds (int128 → double, then ÷10^scale — two roundings),
+    * which at sf1 magnitudes lands 1 ulp BELOW the true value (measured:
+    * q1 sum_charge 51076600845.660483 → …66048 direct vs …660484 via
+    * strtod). Spark's BigDecimal.doubleValue rounds correctly, so the
+    * oracle must render through the correctly-rounded string path to
+    * hash-match at every tier. */
   def sqlDsum(expr: String, scale: Int = 2): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 }

@@ -383,13 +383,19 @@ object Pipeline {
     // thing an ANN path owes its caller: recall against the exact top-k.
     // Spark computes recall@5 of the composed path against its own
     // brute-force KNN (itself oracle-gated via sim1) at the correctness
-    // operating point — nprobe = ALL 10 cells + shortlist 200 — which
-    // isolates the PQ/ADC/rerank machinery from cell-pruning loss; the
-    // measured value on this corpus is 0.90 (near-random vectors, the
-    // hardest case for a 16-centroid-per-subspace codebook). The emitted
-    // row asserts recall >= 0.8; a broken codebook fold, ADC table, or
-    // shortlist rank flips meets_floor to false and the oracle hash-match
-    // goes red. DuckDB independently verifies the query-set size.
+    // operating point — nprobe = ALL 10 cells + a shortlist that SCALES
+    // with the corpus (max(200, n/10)) — which isolates the PQ/ADC/rerank
+    // machinery from cell-pruning loss; the measured value on the gate
+    // corpus is 0.90 (near-random vectors, the hardest case for a
+    // 16-centroid-per-subspace codebook). The shortlist must scale
+    // because ADC quantization error is corpus-relative: a FIXED 200 was
+    // 10% of the sf0.01 corpus but 1% at sf1, and the sf1 probe measured
+    // recall dropping under the floor — the knob a real ANN deployment
+    // sizes with the collection (or trades against a wider codebook).
+    // The emitted row asserts recall >= 0.8; a broken codebook fold, ADC
+    // table, or shortlist rank flips meets_floor to false and the oracle
+    // hash-match goes red. DuckDB independently verifies the query-set
+    // size.
     QueryDef(
       "sim7_ivfpq_recall",
       """SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
@@ -409,8 +415,9 @@ object Pipeline {
         iters = 2, dim = 64, base + "_books", s)
       val codesPath = Pq.encodeCellsCached(s, idx, "vec_id", "embedding",
         "label", books, m = 8, dim = 64, base + "_cellcodes")
+      val shortlist = math.max(200L, e.count() / 10).toInt
       val ann = Pq.ivfPqTopK(s, idx, books, qs, "vec_id", "embedding", "label",
-          m = 8, dim = 64, k = 5, nprobe = 10, shortlist = 200,
+          m = 8, dim = 64, k = 5, nprobe = 10, shortlist = shortlist,
           codesPath = Some(codesPath))
         .select("query_id", "neighbor_id")
       val hits = ann.join(exact, Seq("query_id", "neighbor_id"))

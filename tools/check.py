@@ -18,6 +18,17 @@ con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # the driver's events.parquet carries TIMESTAMP(NANOS) (DuckDB reads a
+    # timestamp); GenScale's generated tiers carry raw BIGINT nanoseconds
+    # (Spark-side Tables.load converts, but oracle SQL would see BIGINT and
+    # every CAST(ts ...) breaks). Normalize to the same µs-truncated
+    # timestamp the engine sees, so oracles are tier-portable.
+    if name == "events":
+        (t,) = [r[1] for r in con.sql("DESCRIBE events").fetchall()
+                if r[0] == "ts"] or [None]
+        if t == "BIGINT":
+            con.sql("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 results = {}
