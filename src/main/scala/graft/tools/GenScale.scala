@@ -179,7 +179,11 @@ object GenScale {
         .when(u(col("id"), lit("dl")) < 0.85, "fr")
         .otherwise("es").as("lang"),
       concat(lit("src"), pmod(col("id"), lit(20)).cast("string")).as("source"),
-      length(text).as("n_chars")), "documents")
+      // bigint, not Spark's int `length`: the driver's pyarrow layout types
+      // n_chars int64, and the catalog-inventory queries derive row widths
+      // from the ACTUAL schema — the 4-byte gap was a measured sf1 oracle
+      // mismatch (s1/inv row_width 108 vs 112)
+      length(text).cast("bigint").as("n_chars")), "documents")
 
     // embeddings: 64-dim ~N(0, 0.13²) float vectors, labels 0..9 (labels
     // deliberately NOT cosine-aligned, like the source tier)
