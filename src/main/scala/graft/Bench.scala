@@ -48,9 +48,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // SPARK_GRAFT_SHUFFLE decouples shuffle width from thread count for
+    // scale probes (default: cpus, the round-comparable geometry). The
+    // sf10 probe measured d2 at 23x/decade at fixed 32-wide (spill
+    // regime) vs 10x/decade (linear) at 128 — partitions must scale with
+    // data; see SCALE.md.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
