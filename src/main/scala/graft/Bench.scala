@@ -43,6 +43,14 @@ object Bench {
       // SubqueryAdaptiveBroadcast (DPP) embeds its build plan UNcanonicalized,
       // and raw exprIds are session-allocation order — pure noise
       .replaceAll("""#\d+""", "#N")
+      // canonicalization renders a commutative AND of PartitionFilters as
+      // multicommutativeop(...) with operand order that varies BY JVM (it
+      // sorts on hashCodes), and the scan line truncates the list so the
+      // operands can't be re-sorted here — mask the operand list (the
+      // clause's PRESENCE still distinguishes a pruned from an unpruned
+      // scan; PushedFilters/ReadSchema stay visible)
+      .replaceAll("""multicommutativeop\([^\n]*?(?=, PushedFilters: |, ReadSchema: |\n|$)""",
+        "multicommutativeop(MASKED)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
