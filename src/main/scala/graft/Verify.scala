@@ -14,7 +14,11 @@ object Verify {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // width ∝ tier bytes (Engine.shuffleWidth policy; floor = cores, so
+      // the driver's sf0.01 gate keeps its geometry — this matters only
+      // when Verify replays the gate on a big generated tier)
+      .config("spark.sql.shuffle.partitions",
+        graft.core.Engine.shuffleWidth(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

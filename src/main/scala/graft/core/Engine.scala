@@ -15,13 +15,44 @@ import org.apache.spark.sql.SparkSession
   */
 object Engine {
 
-  def session(appName: String = "graft", cpus: Option[String] = None): SparkSession = {
+  /** Recursive on-disk byte size of a data directory (0 if absent). */
+  def dataBytes(dir: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+      else f.length()
+    val root = new java.io.File(dir)
+    if (root.exists()) sz(root) else 0L
+  }
+
+  /** Shuffle-width POLICY: partitions scale with input bytes so per-partition
+    * shuffle state stays flat as data grows, instead of being pinned to core
+    * count. Measured basis (SCALE.md, round 8): d2's banded-join shuffle
+    * carries ~10× the input bytes (shingle/signature blow-up); at the sf10
+    * tier (~1.8 GB input) a fixed 32-wide shuffle is spill-bound
+    * (23×/decade wall growth) while 128-wide is linear (10×/decade). Sizing
+    * at one partition per 16 MB of INPUT puts the worst operator's shuffle
+    * partitions at ~128–192 MB — Spark's recommended shuffle-block regime —
+    * and lands the sf10 tier at ~110 partitions, in the measured-linear
+    * band. Floored at core count (small tiers keep the round-comparable
+    * local geometry; AQE coalesce folds tiny shuffles back down anyway) and
+    * capped at 4096 (at 100 TB real deployments size to the cluster, not
+    * one JVM). */
+  def shuffleWidth(dataDir: String, cores: Int): Int =
+    math.min(4096L, math.max(cores.toLong, dataBytes(dataDir) / (16L << 20))).toInt
+
+  def session(appName: String = "graft", cpus: Option[String] = None,
+      dataDir: Option[String] = None): SparkSession = {
     val n = cpus.orElse(sys.env.get("SPARK_GRAFT_CPUS"))
       .getOrElse(Runtime.getRuntime.availableProcessors().toString)
+    // width derives from the data tier when known; SPARK_GRAFT_SHUFFLE
+    // stays as an explicit probe override (A/B runs, SCALE.md experiments)
+    val width = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .orElse(dataDir.map(d => shuffleWidth(d, n.toInt).toString))
+      .getOrElse(n)
     SparkSession.builder()
       .master(s"local[$n]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", n)
+      .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -73,7 +73,12 @@ object Pipeline {
         (d.getName.startsWith(s"$tag-$tier-") ||
           // pre-tiered naming (<tag>-<16 hex>): every such generation is
           // orphaned by the rename — sweep them on first contact
-          d.getName.matches(s"\\Q$tag\\E-[0-9a-f]{16}")))
+          d.getName.matches(s"\\Q$tag\\E-[0-9a-f]{16}")) &&
+        // a RECENTLY-touched sibling may be a concurrent JVM's in-flight
+        // build (a probe beside Bench, or testdata regenerated mid-run) —
+        // deleting it out from under an active read fails that run; leave
+        // anything younger than an hour, it gets swept on a later contact
+        d.lastModified < System.currentTimeMillis() - 3600L * 1000)
       .foreach(deleteRecursively)
     s"${root.getPath}/$current/ivf"
   }

@@ -69,8 +69,11 @@ object GenScale {
       val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$staging/part-*.parquet"))
         .head.getPath
       val dest = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
-      if (fs.exists(dest)) fs.delete(dest, false)
-      fs.rename(part, dest)
+      if (fs.exists(dest)) require(fs.delete(dest, false), s"delete failed for $dest")
+      // rename returning false (not throwing) would leave the tier silently
+      // missing this table — "wrote" would lie and downstream bench/verify
+      // runs fail later with a confusing missing-table error
+      require(fs.rename(part, dest), s"rename $part -> $dest failed")
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       println(s"wrote $out/$name.parquet")
     }

@@ -16,7 +16,9 @@ object TimeQuery {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // same width policy as Bench: derive from tier bytes unless overridden
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      graft.core.Engine.shuffleWidth(sfDir, cpus.toInt).toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

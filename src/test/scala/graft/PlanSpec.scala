@@ -157,18 +157,35 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("Bench.maskPlan removes session artifacts but keeps plan structure") {
-    // the three drift sources observed across sessions: scan file paths,
-    // the IVF cache dir's content-keyed hash, and raw exprIds inside a DPP
-    // SubqueryAdaptiveBroadcast's uncanonicalized build plan
+    // the drift sources observed across sessions: scan file paths, the IVF
+    // cache dir's content-keyed hash, and raw exprIds inside a DPP
+    // SubqueryAdaptiveBroadcast's uncanonicalized build plan — exprId
+    // masking is SCOPED to those subquery lines (main-tree ids are already
+    // normalized by canonicalization and stay visible)
     val a = Bench.maskPlan(
-      "FileScan parquet [v#123] Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_ivf_cache/sim2-aaaa1111/ivf]\n" +
+      "FileScan parquet [v#0] Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_ivf_cache/sim2-aaaa1111/ivf]\n" +
         "SubqueryAdaptiveBroadcast dpp, [0], true, Project [query_id#161L]")
     val b = Bench.maskPlan(
-      "FileScan parquet [v#7] Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_ivf_cache/sim2-bbbb2222/ivf]\n" +
+      "FileScan parquet [v#0] Location: InMemoryFileIndex(1 paths)[file:/tmp/graft_ivf_cache/sim2-bbbb2222/ivf]\n" +
         "SubqueryAdaptiveBroadcast dpp, [0], true, Project [query_id#116L]")
     assert(a == b, s"masked plans must agree:\n$a\n$b")
     // a REAL plan change must still flip the masked string
     assert(Bench.maskPlan("BroadcastHashJoin [k#1]") !=
       Bench.maskPlan("SortMergeJoin [k#1]"))
+  }
+
+  test("Bench.maskPlan keeps literal content distinguishable") {
+    // the old blanket #\d+ mask also swallowed plan-meaningful LITERALS:
+    // 'Brand#1' vs 'Brand#2' in a Filter/PushedFilters line hashed
+    // identically, so a literal-only query change was misattributed as
+    // "environment". Outside DPP subquery lines, #N tokens must survive.
+    val f1 = Bench.maskPlan("Filter (isnotnull(p_brand#0) AND (p_brand#0 = Brand#1))")
+    val f2 = Bench.maskPlan("Filter (isnotnull(p_brand#0) AND (p_brand#0 = Brand#2))")
+    assert(f1 != f2, "literal-only change must flip the masked plan")
+    // ...while the same literal inside a DPP line is sacrificed to the
+    // exprId mask (narrow, documented cost of scoping by line)
+    val d1 = Bench.maskPlan("   SubqueryAdaptiveBroadcast dpp, Project [k#42L]")
+    val d2 = Bench.maskPlan("   SubqueryAdaptiveBroadcast dpp, Project [k#77L]")
+    assert(d1 == d2, "DPP-line exprIds must still be masked")
   }
 }
