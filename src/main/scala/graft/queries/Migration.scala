@@ -223,33 +223,86 @@ object Migration {
         probeWriteSucceeds = () => false)
     },
 
-    // O3: LPT node assignment (driver-side planner over the catalog-sized
-    // work list; deterministic but heap-recursive — rows-only).
-    QueryDef.rowsOnly("o3_lpt_assign") { (s, dir) =>
+    // O3: LPT node assignment invariants (migration.py:1656-1677,1817-1846).
+    // The per-table node ids aren't SQL-replayable (the heap is imperative),
+    // so the gated row is the PROPERTIES the reference itself asserts of an
+    // assignment: every table assigned exactly once to a valid node, and the
+    // LPT makespan within 2x the load lower bound max(total/n, max item) —
+    // Graham's LPT guarantee is (4/3 - 1/3n)*OPT and OPT >= the bound, so a
+    // correct heap always satisfies it while a broken one (dropped table,
+    // max-loaded dequeue) flips a boolean and the hash goes red. DuckDB
+    // independently replays the census side (n_tables, byte totals from
+    // count(*) x declared width). Per-assignment detail stays covered by
+    // PlannerSpec.
+    QueryDef("o3_lpt_assign", {
+      val sz = Inventory.STATIC_WIDTHS.toSeq.sortBy(_._1).map { case (n, w) =>
+        s"SELECT CAST(count(*) * $w AS BIGINT) AS b FROM $n"
+      }.mkString("WITH sz AS (", " UNION ALL ", ")")
+      s"""$sz
+         |SELECT CAST(count(*) AS BIGINT) AS n_tables,
+         |  CAST(sum(b) AS BIGINT) AS total_bytes,
+         |  CAST(max(b) AS BIGINT) AS max_item_bytes,
+         |  CAST(4 AS BIGINT) AS n_nodes,
+         |  true AS all_assigned_once, true AS lpt_within_bound
+         |FROM sz""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       val items = Inventory.STATIC_WIDTHS.toSeq.sortBy(_._1).zipWithIndex.map {
         case ((n, w), i) =>
           val rc = Tables.load(s, dir, n).count()
           Extract.WorkItem(n, rc, rc * w, 1000 + i)
       }
-      val assign = Extract.lptAssign(items, n = 4)
-      items.map(it => (it.name, it.sizeBytes, assign(it.name)))
-        .toDF("table_name", "size_bytes", "node_id").orderBy("table_name")
+      val n = 4
+      val assign = Extract.lptAssign(items, n)
+      val loads = (0 until n).map(node =>
+        items.filter(it => assign.get(it.name).contains(node)).map(_.sizeBytes).sum)
+      val total = items.map(_.sizeBytes).sum
+      val maxItem = items.map(_.sizeBytes).max
+      val bound = math.max(total.toDouble / n, maxItem.toDouble)
+      val allAssigned = assign.keySet == items.map(_.name).toSet &&
+        assign.values.forall(v => v >= 0 && v < n)
+      val withinBound = loads.max.toDouble <= 2.0 * bound
+      Seq((items.size.toLong, total, maxItem, n.toLong, allAssigned, withinBound))
+        .toDF("n_tables", "total_bytes", "max_item_bytes", "n_nodes",
+          "all_assigned_once", "lpt_within_bound")
     },
 
-    // O4: size-capped batch packing + spill (migration.py:1758-1784).
-    QueryDef.rowsOnly("o4_batch_pack") { (s, dir) =>
+    // O4: size-capped batch packing invariants (migration.py:1758-1784,
+    // 1817-1846): batches ⊎ spilled == inventory with no loss/dup, every
+    // batch within the cap, and exactly the over-cap items spilled (the
+    // no_extraction.list behavior). n_spilled IS SQL-replayable — an item
+    // spills iff its bytes exceed the cap — so the oracle checks it
+    // directly; the greedy fill order is not, so its properties ride the
+    // boolean columns. Per-batch detail stays covered by PlannerSpec.
+    QueryDef("o4_batch_pack", {
+      val cap = 1L << 20
+      val sz = Inventory.STATIC_WIDTHS.toSeq.sortBy(_._1).map { case (n, w) =>
+        s"SELECT CAST(count(*) * $w AS BIGINT) AS b FROM $n"
+      }.mkString("WITH sz AS (", " UNION ALL ", ")")
+      s"""$sz
+         |SELECT CAST(count(*) AS BIGINT) AS n_tables,
+         |  CAST(sum(b) AS BIGINT) AS total_bytes,
+         |  CAST($cap AS BIGINT) AS cap_bytes,
+         |  CAST(sum(CASE WHEN b > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_spilled,
+         |  true AS partition_exact, true AS batches_within_cap
+         |FROM sz""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       val items = Inventory.STATIC_WIDTHS.toSeq.sortBy(_._1).zipWithIndex.map {
         case ((n, w), i) =>
           val rc = Tables.load(s, dir, n).count()
           Extract.WorkItem(n, rc, rc * w, 1000 + i)
       }
-      val (batches, spilled) = Extract.batch(items, capBytes = 1L << 20)
-      val rows = batches.zipWithIndex.flatMap { case (b, bi) =>
-        b.map(it => (it.name, it.sizeBytes, bi, false))
-      } ++ spilled.map(it => (it.name, it.sizeBytes, -1, true))
-      rows.toDF("table_name", "size_bytes", "batch_id", "spilled").orderBy("table_name")
+      val cap = 1L << 20
+      val (batches, spilled) = Extract.batch(items, capBytes = cap)
+      val flat = batches.flatten ++ spilled
+      val partitionExact = flat.map(_.name).sorted == items.map(_.name).sorted
+      val capsOk = batches.forall(_.map(_.sizeBytes).sum <= cap) &&
+        spilled.forall(_.sizeBytes > cap)
+      Seq((items.size.toLong, items.map(_.sizeBytes).sum, cap,
+          spilled.size.toLong, partitionExact, capsOk))
+        .toDF("n_tables", "total_bytes", "cap_bytes", "n_spilled",
+          "partition_exact", "batches_within_cap")
     },
 
     // S6+S4: gzip-CSV extract sink, explicit-schema read-back, aggregate

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
@@ -669,41 +670,91 @@ object Pipeline {
     // users) shuffle EVERY distinct value to its reducer; the sketch form
     // ships one fixed-size (~KB at rsd 0.02) sketch per group per partition
     // and merges — constant network cost per group regardless of corpus
-    // size. DuckDB can't hash-match a sketch, so both are rows-only by
-    // design; PipelineSpec bounds the relative error against the exact
-    // census (HLL++ is deterministic for a given input set, so the bound is
-    // stable, not probabilistic flake).
-    QueryDef.rowsOnly("t10_approx_distinct") { (s, dir) =>
+    // size. DuckDB can't replay the sketch VALUE, so the gated row follows
+    // the sim7 self-asserting pattern: Spark computes the exact census
+    // beside the sketch and emits meets_bound = |approx - exact| <= 5% of
+    // exact (2.5 sigma at rsd 0.02; HLL++ is deterministic for a given
+    // input set, so this is stable, not probabilistic flake). DuckDB
+    // independently replays the exact side and pins the bound columns — a
+    // drifting sketch flips the boolean and the hash goes red. The raw
+    // sketch estimate itself stays off the row (unpredictable by the
+    // oracle); PipelineSpec still bounds it directly.
+    QueryDef(
+      "t10_approx_distinct",
+      s"""SELECT source, count(*) AS n_docs,
+         | count(DISTINCT $fingerprintSql) AS exact_unique,
+         | 0.05 AS err_bound, true AS meets_bound
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val fp = graft.pipeline.TextOps.fingerprint(col("text"))
       Tables.load(s, dir, "documents")
         .groupBy("source")
         .agg(
-          approx_count_distinct(graft.pipeline.TextOps.fingerprint(col("text")), rsd = 0.02)
-            .as("approx_unique"),
-          count(lit(1)).as("n_docs"))
+          count(lit(1)).as("n_docs"),
+          countDistinct(fp).as("exact_unique"),
+          approx_count_distinct(fp, rsd = 0.02).as("approx"))
+        .select(col("source"), col("n_docs"), col("exact_unique"),
+          lit(0.05).as("err_bound"),
+          (abs(col("approx") - col("exact_unique")) <=
+            col("exact_unique") * lit(0.05)).as("meets_bound"))
         .orderBy("source")
     },
 
-    QueryDef.rowsOnly("st4_approx_users") { (s, dir) =>
+    QueryDef(
+      "st4_approx_users",
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT user_id) AS exact_users,
+        | 0.05 AS err_bound, true AS meets_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          count(lit(1)).as("n_events"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          lit(0.05).as("err_bound"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("meets_bound"))
         .orderBy("event_type")
     },
 
     // t12: sketch-based quantiles (Greenwald-Khanna via approx_percentile)
     // — t6's exact percentile collects every group value onto its reducer;
     // the sketch form merges bounded summaries, the only shape that holds
-    // for a 100 TB quality-threshold scan. Rows-only (DuckDB has no GK
-    // replay); PipelineSpec bounds the error vs the exact quantiles.
-    QueryDef.rowsOnly("t12_approx_quantiles") { (s, dir) =>
-      Tables.load(s, dir, "documents")
+    // for a 100 TB quality-threshold scan. DuckDB has no GK replay, so the
+    // gated row asserts GK's actual CONTRACT in-band: the returned value v
+    // is an element of the group whose normalized rank interval
+    // [count(<v)/n, count(<=v)/n] must meet p ± eps (eps = 1/accuracy =
+    // 0.001, plus a 1/n discreteness slack). Spark computes the rank check
+    // by joining the sketch output back to the tokens; DuckDB replays the
+    // group census and pins eps + the booleans — a mis-merged or
+    // mis-ranked sketch flips a boolean and the hash goes red.
+    QueryDef(
+      "t12_approx_quantiles",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, 0.001 AS rank_eps,
+        | true AS p50_in_bound, true AS p90_in_bound
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val eps = 0.001
+      def inBound(lt: Column, le: Column, n: Column, p: Double): Column = {
+        val slack = lit(eps) + lit(1.0) / n
+        (lt.cast("double") / n <= lit(p) + slack) &&
+          (le.cast("double") / n >= lit(p) - slack)
+      }
+      val toks = Tables.load(s, dir, "documents")
         .select(col("lang"), graft.functions.Portable.tokenCount(col("text")).as("tok"))
-        .groupBy("lang")
+      val ap = toks.groupBy("lang")
         .agg(expr("approx_percentile(tok, array(0.5, 0.9), 1000)").as("q"))
-        .select(col("lang"),
-          col("q")(0).cast("double").as("p50_approx"),
-          col("q")(1).cast("double").as("p90_approx"))
+        .select(col("lang"), col("q")(0).as("p50_a"), col("q")(1).as("p90_a"))
+      toks.join(ap, "lang").groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("tok") < col("p50_a"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("tok") <= col("p50_a"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("tok") < col("p90_a"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("tok") <= col("p90_a"), 1L).otherwise(0L)).as("le90"))
+        .select(col("lang"), col("n_docs"), lit(eps).as("rank_eps"),
+          inBound(col("lt50"), col("le50"), col("n_docs"), 0.5).as("p50_in_bound"),
+          inBound(col("lt90"), col("le90"), col("n_docs"), 0.9).as("p90_in_bound"))
         .orderBy("lang")
     },
 
