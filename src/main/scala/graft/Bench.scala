@@ -147,6 +147,12 @@ object Bench {
     val eventsRows =
       try graft.core.Tables.load(spark, sfDir, "events").count()
       catch { case _: Throwable => 0L }
+    // stateful ops read the conf at planning: narrow the width to the
+    // streaming policy (state-commit IO is per-partition-fixed — see
+    // Engine.streamShuffleWidth) for the stream entries, restore after
+    val streamWidth = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      graft.core.Engine.streamShuffleWidth(sfDir).toString)
+    spark.conf.set("spark.sql.shuffle.partitions", streamWidth)
     def streamOnce(build: () => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
@@ -169,6 +175,7 @@ object Bench {
         val ts = (1 to reps).flatMap(_ => streamOnce(b))
         (n, ts, spread(ts) > NoisyRatio)
       }
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle)
     val streamEps = streamResults.collect { case (n, ts, _) if ts.nonEmpty =>
       "\"" + n + "\":" + (eventsRows / ts.min).toLong
     }.mkString("{", ",", "}")
