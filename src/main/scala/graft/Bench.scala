@@ -151,7 +151,7 @@ object Bench {
     // streaming policy (state-commit IO is per-partition-fixed — see
     // Engine.streamShuffleWidth) for the stream entries, restore after
     val streamWidth = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      graft.core.Engine.streamShuffleWidth(sfDir).toString)
+      graft.core.Engine.streamShuffleWidth(sfDir, cpus.toInt).toString)
     spark.conf.set("spark.sql.shuffle.partitions", streamWidth)
     def streamOnce(build: () => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

@@ -50,11 +50,14 @@ object Engine {
     * 2.8 s) while the row-proportional work is too small to need the
     * cores. Width scales on the EVENTS table's bytes (the streamed input —
     * join/agg state is ~20× its parquet bytes in memory) at one partition
-    * per 2 MB, floor 4, so small feeds aren't taxed 32 commit files per
-    * batch and big feeds still fan out: sf0.1 → 4, sf1 → 10, sf10 → 113,
-    * growing linearly onto a real cluster's core count at 100 TB. */
-  def streamShuffleWidth(dataDir: String): Int =
-    math.min(4096L, math.max(4L,
+    * per 2 MB, floor 4, CAPPED AT CORES: unlike a batch exchange, going
+    * wider than the executor slots buys no parallelism and every surplus
+    * partition still pays its per-batch commit files — measured at sf10,
+    * width 113 ran the interval join at 31.9 s vs 27.9 s at the 32-core
+    * cap. So: sf0.1 → 4, sf1 → 10, sf10 → 32 locally; on a real cluster
+    * the cap is the fleet's core count and the same policy fans out. */
+  def streamShuffleWidth(dataDir: String, cores: Int): Int =
+    math.min(math.max(4L, cores.toLong), math.max(4L,
       dataBytes(s"$dataDir/events.parquet") / (2L << 20))).toInt
 
   def session(appName: String = "graft", cpus: Option[String] = None,

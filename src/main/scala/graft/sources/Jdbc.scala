@@ -128,6 +128,37 @@ object Jdbc {
       .load()
   }
 
+  /** DSv2 live-mode read through a registered `JDBCTableCatalog`.
+    *
+    * The v1 paths above push only filters and column pruning into the
+    * remote query; the catalog-based DSv2 relation can additionally push
+    * whole AGGREGATES and LIMITs ([[count]]/[[bounds]] hand-write that SQL
+    * for exactly this reason — DSv2 subsumes them for arbitrary grouped
+    * aggregates). Against a big live server this is the difference between
+    * shipping one row per group and dragging the table across one
+    * connection — the reference's catalog sizing queries
+    * (`migration.py:1699,1704`) are all of this count/sum-by-group shape.
+    *
+    * `table` is the remote `schema.table` identifier; the catalog resolves
+    * it QUOTED, so case must match the stored identifier (Derby folds
+    * unquoted DDL to upper case — pass `APP.SUPPLIER_LIVE` for a table the
+    * v1 writer created as `supplier_live`). Whether an aggregate actually
+    * pushes is dialect-dependent and visible in the scan's
+    * `PushedAggregates` — JdbcSpec pins the Derby behavior. */
+  def readV2(spark: SparkSession, url: String, table: String,
+      catalog: String = "graft_jdbc"): DataFrame = {
+    quietDerby
+    spark.conf.set(s"spark.sql.catalog.$catalog",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catalog.url", url)
+    spark.conf.set(s"spark.sql.catalog.$catalog.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$catalog.pushDownLimit", "true")
+    propsMap.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$catalog.$k", v)
+    }
+    spark.table(s"$catalog.$table")
+  }
+
   /** Pushed-down [min, max] of a string-comparable key EXPRESSION — same
     * single-row remote aggregate shape as [[bounds]]. `keySql` is the
     * verbatim SQL the key is read through ([[strKeySql]] / [[decKeySql]]'s

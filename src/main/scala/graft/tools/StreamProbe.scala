@@ -24,7 +24,8 @@ object StreamProbe {
     // via Engine.session already; otherwise apply the streaming policy)
     if (sys.env.get("SPARK_GRAFT_SHUFFLE").isEmpty)
       spark.conf.set("spark.sql.shuffle.partitions",
-        graft.core.Engine.streamShuffleWidth(sfDir))
+        graft.core.Engine.streamShuffleWidth(sfDir,
+          spark.sparkContext.defaultParallelism))
     println(s"shuffle.partitions=${spark.conf.get("spark.sql.shuffle.partitions")}")
 
     val defs: Seq[(String, () => DataFrame)] = Seq(
