@@ -102,6 +102,19 @@ object Pipeline {
           concat(array(col("v")(0) + 0.05), slice(col("v"), 2, 63)).as("v")))
   }
 
+  /** The planted HALF of [[plantedNearDupCorpus]] alone — the 50 nudged
+    * copies (ids 10000+x) as a QUERY set over the unmodified corpus; each
+    * sits at cosine ≥ 0.9987 to its original x while the tightest natural
+    * pair is ≤ 0.61, so any ANN path worth its name must return x for
+    * query 10000+x. Deterministic, so DuckDB replays the census. */
+  private[graft] def plantedQueries(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(col("v")(0) + 0.05), slice(col("v"), 2, 63)).as("v"))
+
   // Brute-force top-k cosine oracle over a query-id predicate.
   private def knnOracle(queryPred: String, k: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -336,11 +349,26 @@ object Pipeline {
     // sim5: product quantization + ADC — the memory-bound ANN scale path
     // (IVF-PQ's quantization half; composes with the cell-partitioned IVF
     // layout). Codes are ~30-60x smaller than the raw vectors and scoring
-    // is m table lookups per candidate. Rows-only by design: the trained
-    // codebooks ride float `avg()` folds whose last-bit accumulation order
-    // isn't replayable in SQL; PipelineSpec measures planted-near-dup
-    // retrieval and recall@10 vs brute force instead.
-    QueryDef.rowsOnly("sim5_pq_adc") { (s, dir) =>
+    // is m table lookups per candidate. The trained codebooks ride float
+    // `avg()` folds whose last-bit accumulation order isn't replayable in
+    // SQL, so the gated row asserts the CONTRACT instead (the o3/o4/t10
+    // self-asserting pattern): queries are the 50 planted near-dups (ids
+    // 10000+x at cosine >= 0.9987 to original x, vs <= 0.61 for the
+    // tightest natural pair — the d8 fixture), and ADC over the build-once
+    // codes must surface each original at RANK 1: the planted copy and its
+    // original quantize to (near-)identical codes, so any broken codebook
+    // fold, encoder argmin, LUT, or rank window flips planted_top1 (or the
+    // completeness/bounds booleans) and the hash goes red. Measured before
+    // gating: 50/50 at rank 1 (AdcRecallProbe); raw-corpus recall@5 vs
+    // exact is 0.20 — quantization-error-dominated on near-random vectors,
+    // which is why the gate rides the planted gap, and why the ADC path
+    // owes its caller a rerank (sim6/sim7) for tight-margin corpora.
+    // DuckDB independently replays the query-set census.
+    QueryDef(
+      "sim5_pq_adc",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        | true AS complete_topk, true AS planted_top1, true AS cosine_bounded
+        |FROM embeddings WHERE vec_id < 50""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       // build-once books + codes (same lifecycle as the IVF index cache):
@@ -350,10 +378,25 @@ object Pipeline {
         iters = 2, dim = 64, base + "_books", s)
       val codes = Pq.encodeCached(e, "vec_id", "v", books, m = 8, dim = 64,
         base + "_codes", s)
-      Pq.adcTopK(codes, books, e.filter(col("vec_id") < 10), "vec_id", "v",
-          k = 5, m = 8, dim = 64)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      val ann = Pq.adcTopK(codes, books, plantedQueries(Tables.load(s, dir, "embeddings")),
+        "vec_id", "v", k = 5, m = 8, dim = 64)
+      val per = ann.groupBy("query_id").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("rank")).as("nr"),
+        min("rank").as("rmin"), max("rank").as("rmax"),
+        max(when(col("rank") === 1, col("neighbor_id"))).as("top1"),
+        min("adc_cosine").as("cmin"), max("adc_cosine").as("cmax"))
+      per.agg(
+        count(lit(1)).as("n_queries"),
+        min(when(col("n") === 5 && col("nr") === 5 &&
+          col("rmin") === 1 && col("rmax") === 5, 1).otherwise(0)).as("ct"),
+        min(when(col("top1") === col("query_id") - 10000, 1).otherwise(0)).as("pt"),
+        min(when(col("cmin") >= -1.000001 && col("cmax") <= 1.000001, 1)
+          .otherwise(0)).as("cb"))
+        .select(col("n_queries"), lit(5L).as("k"),
+          (col("ct") === 1).as("complete_topk"),
+          (col("pt") === 1).as("planted_top1"),
+          (col("cb") === 1).as("cosine_bounded"))
     },
 
     // sim6: IVF-PQ composed — probe the (cached, cell-partitioned) IVF
