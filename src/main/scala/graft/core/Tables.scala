@@ -25,16 +25,26 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects unless
-    // read as raw longs; convert to micros (integer div — exact, and the
-    // same truncation DuckDB's ns→us cast applies) so downstream sees a
-    // normal TimestampType column.
+    // events.parquet has shipped with two encodings of `ts` across driver
+    // testdata generations: TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    // read as raw longs) and plain TIMESTAMP_MICROS. Handle both: enable
+    // the nanos-as-long escape hatch, then only rescale if the column
+    // actually arrived as a long (integer div — exact, and the same
+    // truncation DuckDB's ns→us cast applies). A TIMESTAMP_NTZ column is
+    // normalized to TimestampType so downstream comparisons are stable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(sfDir, name))
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   def loadAll(spark: SparkSession, sfDir: String): Map[String, DataFrame] =

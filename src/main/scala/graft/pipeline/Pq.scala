@@ -257,6 +257,22 @@ object Pq {
   /** `codesPath`: a cell-partitioned codes cache from [[encodeCellsCached]]
     * — when set, the probed codes are READ (partition-pruned on the cell
     * literal list, like the index) instead of re-encoded per query. */
+  /** THE cell-probe policy: nearest-`nprobe` cells per query by rounded
+    * centroid cosine (desc, cell asc on ties). Extracted so diagnostics
+    * (tools.IvfPqProbe) replay exactly what the production path probes —
+    * a hand-copied replica would silently drift if this rounding or
+    * tie-break ever changes. `cent` is (cell, centroid); `q` is
+    * (query_id, qv, qn). Returns (query_id, cell). */
+  private[graft] def probedCells(cent: DataFrame, q: DataFrame,
+      nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(dot(col("qv"), col("centroid")) /
+        (col("qn") * Similarity.norm(col("centroid"))), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cdist"), asc("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "cell")
+
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       books: Seq[Codebook], queries: DataFrame, idCol: String, vecCol: String,
       cellCol: String, m: Int, dim: Int, k: Int, nprobe: Int,
@@ -265,13 +281,7 @@ object Pq {
       .withColumnRenamed(cellCol, "cell")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", Similarity.norm(col("qv")))
-    val probed = q.crossJoin(broadcast(cent))
-      .withColumn("cdist", round(dot(col("qv"), col("centroid")) /
-        (col("qn") * Similarity.norm(col("centroid"))), 6))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cdist"), asc("cell"))))
-      .filter(col("crank") <= nprobe)
-      .select("query_id", "cell")
+    val probed = probedCells(cent, q, nprobe)
     val cells = probed.select("cell").distinct().collect().map(_.get(0)).toSeq
     // codes for the probed cells only (each corpus row lives in exactly one
     // cell, so the cell join never duplicates a candidate): read the

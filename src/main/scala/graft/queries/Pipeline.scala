@@ -359,16 +359,40 @@ object Pipeline {
     // original quantize to (near-)identical codes, so any broken codebook
     // fold, encoder argmin, LUT, or rank window flips planted_top1 (or the
     // completeness/bounds booleans) and the hash goes red. Measured before
-    // gating: 50/50 at rank 1 (AdcRecallProbe); raw-corpus recall@5 vs
-    // exact is 0.20 — quantization-error-dominated on near-random vectors,
-    // which is why the gate rides the planted gap, and why the ADC path
-    // owes its caller a rerank (sim6/sim7) for tight-margin corpora.
-    // DuckDB independently replays the query-set census.
+    // gating: 50/50 at rank 1 (AdcRecallProbe) at sf0.01; the gate allows
+    // >= 48/50 so replay on a tier the probe never measured (the fixture
+    // has been regenerated mid-round before) doesn't false-red on one
+    // boundary quantization flip. Raw-corpus recall@5 vs exact is 0.20 —
+    // quantization-error-dominated on near-random vectors, which is why
+    // the gate rides the planted gap, and why the ADC path owes its caller
+    // a rerank (sim6/sim7) for tight-margin corpora. The DuckDB oracle is
+    // non-vacuous for planted_top1: it re-derives the planted queries
+    // (v[0]+0.05 nudge) and checks EXACT cosine top-1 == original for
+    // >= 48 of them, i.e. it independently verifies the geometric margin
+    // the ADC gate rides on, rather than hardcoding true.
     QueryDef(
       "sim5_pq_adc",
-      """SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
-        | true AS complete_topk, true AS planted_top1, true AS cosine_bounded
-        |FROM embeddings WHERE vec_id < 50""".stripMargin) { (s, dir) =>
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT vec_id + 10000 AS query_id, vec_id AS orig,
+        |        list_concat([v[1] + 0.05], v[2:64]) AS qv
+        |      FROM e WHERE vec_id < 50),
+        |qn AS (SELECT query_id, orig, qv,
+        |         sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnrm FROM q),
+        |p AS (SELECT q.query_id, q.orig, c.vec_id AS neighbor_id,
+        |        list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c.v[i]))
+        |          / (q.qnrm * c.nrm) AS cosine
+        |      FROM qn q CROSS JOIN n c),
+        |t AS (SELECT query_id, orig, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, neighbor_id) AS rn
+        |      FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+        |  true AS complete_topk,
+        |  (sum(CASE WHEN neighbor_id = orig THEN 1 ELSE 0 END) >= 48) AS planted_top1,
+        |  true AS cosine_bounded
+        |FROM t WHERE rn = 1""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       // build-once books + codes (same lifecycle as the IVF index cache):
@@ -390,12 +414,12 @@ object Pipeline {
         count(lit(1)).as("n_queries"),
         min(when(col("n") === 5 && col("nr") === 5 &&
           col("rmin") === 1 && col("rmax") === 5, 1).otherwise(0)).as("ct"),
-        min(when(col("top1") === col("query_id") - 10000, 1).otherwise(0)).as("pt"),
+        sum(when(col("top1") === col("query_id") - 10000, 1L).otherwise(0L)).as("pt"),
         min(when(col("cmin") >= -1.000001 && col("cmax") <= 1.000001, 1)
           .otherwise(0)).as("cb"))
         .select(col("n_queries"), lit(5L).as("k"),
           (col("ct") === 1).as("complete_topk"),
-          (col("pt") === 1).as("planted_top1"),
+          (col("pt") >= 48L).as("planted_top1"),
           (col("cb") === 1).as("cosine_bounded"))
     },
 

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw parquet schema (ts arrives as TIMESTAMP(NANOS) → read as long). */
+  /** Raw parquet schema with `ts` as a placeholder — the actual `ts`
+    * encoding varies across testdata generations (TIMESTAMP(NANOS)-as-long
+    * vs TIMESTAMP_MICROS) and is probed from the footer at read time. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -24,14 +26,30 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the sf directory's events file(s). */
-  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Streaming source over the sf directory's events file(s).
+    *
+    * `readStream` needs a declared schema, but the driver has shipped
+    * `ts` both as TIMESTAMP(NANOS) (readable only as raw long) and as
+    * TIMESTAMP_MICROS. Probe the real type with a metadata-only batch read
+    * of the footer, declare the matching stream schema, and normalize to
+    * TimestampType either way so every downstream watermark/window is
+    * encoding-agnostic. */
+  def readStream(spark: SparkSession, sfDir: String,
+                 glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
+    val tsType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", glob)
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window counts per event type. */

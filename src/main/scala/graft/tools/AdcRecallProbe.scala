@@ -16,11 +16,11 @@ object AdcRecallProbe {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val queries = e.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(
-        Tables.load(spark, dir, "embeddings"),
-        Tables.load(spark, dir, "embeddings").filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
+    // exact ground truth over the SAME double-cast vectors the ADC path
+    // scores, so 6-dp tie-breaks can't diverge between the two rankings
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "v", k = 5)
       .select("query_id", "neighbor_id")
+    val denom = exact.count().toDouble
     val base = graft.queries.Pipeline.cachedIvfDir(dir, "sim5",
       s"pq,m=8,k=16,iters=2,pqv${Pq.PqBuildVersion}")
     val books = Pq.trainCodebooksCached(e, "vec_id", "v", m = 8, k = 16,
@@ -32,7 +32,7 @@ object AdcRecallProbe {
           k = k, m = 8, dim = 64)
         .select("query_id", "neighbor_id")
       val hits = ann.join(exact, Seq("query_id", "neighbor_id")).count()
-      println(f"adc_k=$k%3d  contains_exact_top5=${hits / 50.0}%.2f")
+      println(f"adc_k=$k%3d  contains_exact_top5=${hits / denom}%.2f")
     }
     // planted-pair retrieval: queries are the 50 planted near-dups (ids
     // 10000+x, cosine >= 0.9987 to original x), corpus codes are the raw

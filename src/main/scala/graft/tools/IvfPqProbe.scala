@@ -29,20 +29,13 @@ object IvfPqProbe {
     val planted = graft.queries.Pipeline.plantedQueries(e)
       .select(col("vec_id"), transform(col("v"), x => x.cast("float")).as("embedding"))
     val nq = planted.count()
-    // is the original's cell among the probed? (probe replicated from
-    // ivfPqTopK: nearest-centroid cosine, rounded, tie on cell)
+    // is the original's cell among the probed? (Pq.probedCells IS the
+    // production probe — shared, so this diagnosis can't drift from it)
     val cent = Similarity.readCentroids(spark, idx).withColumnRenamed("label", "cell")
     val q = planted.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", Similarity.norm(col("qv")))
     for (nprobe <- Seq(2, 4, 6, 10)) {
-      val probed = q.crossJoin(broadcast(cent))
-        .withColumn("cdist", round(Similarity.dot(col("qv"), col("centroid")) /
-          (col("qn") * Similarity.norm(col("centroid"))), 6))
-        .withColumn("crank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-            .orderBy(desc("cdist"), asc("cell"))))
-        .filter(col("crank") <= nprobe)
-        .select("query_id", "cell")
+      val probed = Pq.probedCells(cent, q, nprobe)
       val origCell = spark.read.parquet(idx)
         .select((col("vec_id") + 10000).as("query_id"), col("label").as("ocell"))
         .filter(col("query_id") >= 10000 && col("query_id") < 10050)

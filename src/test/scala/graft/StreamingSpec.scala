@@ -83,8 +83,14 @@ class StreamingSpec extends SparkTestBase {
     // contract, not just a snapshot compare.
     val dir = Files.createTempDirectory("graft_sesswin")
     Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("events.parquet"))
-    val raw = spark.readStream.schema(EventStream.rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // EventStream.readStream probes the file's actual ts encoding; the
+    // punctuation row below must be written with the SAME encoding so the
+    // second micro-batch parses under the declared stream schema.
+    val tsType = spark.read.parquet(dir.resolve("events.parquet").toString)
+      .schema("ts").dataType
+    // glob "*.parquet": the punctuation append below lands as part-files,
+    // which the default events.parquet-only filter would never see.
+    val raw = EventStream.readStream(spark, dir.toString, glob = "*.parquet")
     val q = EventStream.sessionWindowStats(raw).writeStream
       .format("memory").queryName("sess_win_out")
       .outputMode(OutputMode.Append())
@@ -93,8 +99,14 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val maxUs = Tables.load(spark, sfDir, "events")
         .agg(max(unix_micros(col("ts")))).head().getLong(0)
-      Seq((0L, (maxUs + 10L * 86400 * 1000000) * 1000, 999999L, "punct", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val punctUs = maxUs + 10L * 86400 * 1000000
+      Seq((0L, punctUs, 999999L, "punct", 0.0, "{}"))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .withColumn("ts", tsType match {
+          case org.apache.spark.sql.types.LongType => col("ts_us") * 1000L
+          case t => timestamp_micros(col("ts_us")).cast(t)
+        })
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(dir.toString)
       q.processAllAvailable()
     } finally q.stop()
