@@ -144,9 +144,10 @@ object Bench {
     // The noop sink keeps the measurement about state machinery, not
     // driver-side result collection.
     import graft.streaming.EventStream
-    val eventsRows =
-      try graft.core.Tables.load(spark, sfDir, "events").count()
-      catch { case _: Throwable => 0L }
+    // No catch: a broken events load must fail the bench run loudly, not
+    // read as "0 events/sec" (in round 10 that masked a decode regression
+    // as a throughput collapse).
+    val eventsRows = graft.core.Tables.load(spark, sfDir, "events").count()
     // stateful ops read the conf at planning: narrow the width to the
     // streaming policy (state-commit IO is per-partition-fixed — see
     // Engine.streamShuffleWidth) for the stream entries, restore after
