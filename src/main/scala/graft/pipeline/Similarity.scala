@@ -261,10 +261,26 @@ object Similarity {
     *
     * For genuinely near-dup thresholds (≥0.7) prefer [[srpBandedPairs]] in
     * its pruning configuration (r=8, b=32): subquadratic candidates at
-    * (effectively) exact recall for tight pairs. */
+    * (effectively) exact recall for tight pairs.
+    *
+    * `maxRows` guards the quadratic blow-up: all-pairs is O(n²/2) BY SPEC
+    * (the loose-threshold regime has no admissible pruning), so a corpus
+    * that drifted to engine scale must fail fast with a pointer to the
+    * subquadratic path, not launch a 10¹⁴-comparison job. The default cap
+    * (1M rows ≈ 5·10¹¹ comparisons, an hours-scale cluster job) is far
+    * above every verify/bench tier; pass `maxRows <= 0` to disable after
+    * sizing the cluster deliberately. Costs one count() of the corpus —
+    * metadata-only on a parquet-backed frame, and noise next to n²/2. */
   def exactCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blocks: Int = 16): DataFrame = {
+      threshold: Double, blocks: Int = 16, maxRows: Long = 1000000L): DataFrame = {
     import graft.functions.Portable
+    if (maxRows > 0) {
+      val n = corpus.count()
+      require(n <= maxRows,
+        s"exactCosinePairs is all-pairs O(n^2): corpus has $n rows > guard " +
+          s"$maxRows. Use srpBandedPairs (subquadratic) for corpora this " +
+          "size, or pass maxRows<=0 to override deliberately.")
+    }
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("g", pmod(Portable.hash32(col("id").cast("string")), lit(blocks)).cast("int"))

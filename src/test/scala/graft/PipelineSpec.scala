@@ -189,6 +189,19 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("exactCosinePairs: quadratic guard trips above maxRows, can be disabled") {
+    // the loose regime is O(n²) by spec — at engine scale it must refuse
+    // with a pointer to the subquadratic path rather than launch the job
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.exactCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.4, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("srpBandedPairs"))
+    // maxRows <= 0 disables the guard for deliberately-sized runs
+    assert(Similarity.exactCosinePairs(emb, "vec_id", "embedding",
+      threshold = 0.4, maxRows = 0).limit(1).count() >= 0)
+  }
+
   test("d8 pruning config (r=16,b=32): exact recall on planted near-dups AND subquadratic candidates") {
     // the tight-threshold regime claim, measured: every planted >=0.98 pair
     // is recovered, while the candidate set is a tiny fraction of all
