@@ -140,18 +140,25 @@ object Main {
         numPartitions = spark.sparkContext.defaultParallelism.min(32)))
 
   /** Live-catalog inventory: table list from JDBC metadata, row counts
-    * through a PUSHED-DOWN server-side COUNT(*) per table (the v1 relation
-    * would otherwise drag every row over the connection to count it),
-    * declared sizes from the schema widths. One row per TABLE — driver-side
-    * assembly stays catalog-sized, never data-sized. */
+    * through the DSv2 catalog relation so Catalyst PUSHES the COUNT(*)
+    * into the remote scan (`PushedAggregates` — the server computes it,
+    * one row crosses the wire; the reference's SYSTABLE-joined counts at
+    * migration.py:1699,1704 are this shape). Falls back to the v1
+    * derived-table count when a dialect declines aggregate pushdown —
+    * still server-side, never a full-table drag. Declared sizes from the
+    * schema widths. One row per TABLE — driver-side assembly stays
+    * catalog-sized, never data-sized. */
   def jdbcWorkItems(spark: org.apache.spark.sql.SparkSession,
       url: String): Seq[Extract.WorkItem] =
-    graft.sources.Jdbc.listTables(url).sorted.zipWithIndex.map { case (n, i) =>
-      val schema = graft.sources.Jdbc.read(spark, url, n).schema
-      val cnt = graft.sources.Jdbc.count(spark, url, n)
-      Extract.WorkItem(n.toLowerCase, cnt,
-        cnt * Catalog.rowWidth(schema), 2000 + i)
-    }
+    graft.sources.Jdbc.listTablesQualified(url).sortBy(_._2)
+      .zipWithIndex.map { case ((schem, n), i) =>
+        val v2 = graft.sources.Jdbc.readV2(spark, url,
+          if (schem.nonEmpty) s"$schem.$n" else n)
+        val cnt = graft.sources.Jdbc.pushedCount(v2)
+          .getOrElse(graft.sources.Jdbc.count(spark, url, n))
+        Extract.WorkItem(n.toLowerCase, cnt,
+          cnt * Catalog.rowWidth(v2.schema), 2000 + i)
+      }
 
   private def onlyDataFrom(spark: org.apache.spark.sql.SparkSession,
       out: String, batchCapBytes: Long,

@@ -144,19 +144,29 @@ object Jdbc {
     * unquoted DDL to upper case — pass `APP.SUPPLIER_LIVE` for a table the
     * v1 writer created as `supplier_live`). Whether an aggregate actually
     * pushes is dialect-dependent and visible in the scan's
-    * `PushedAggregates` — JdbcSpec pins the Derby behavior. */
+    * `PushedAggregates` — JdbcSpec pins the Derby behavior.
+    *
+    * The default catalog NAME is derived from the url: Spark instantiates
+    * a catalog once per name and keeps it for the session, so reusing one
+    * name across different urls would silently keep reading the FIRST
+    * url's database no matter what the conf says. */
   def readV2(spark: SparkSession, url: String, table: String,
-      catalog: String = "graft_jdbc"): DataFrame = {
+      catalog: String = ""): DataFrame = {
     quietDerby
-    spark.conf.set(s"spark.sql.catalog.$catalog",
+    val cat =
+      if (catalog.nonEmpty) catalog
+      else "graft_jdbc_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+    spark.conf.set(s"spark.sql.catalog.$cat",
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
-    spark.conf.set(s"spark.sql.catalog.$catalog.url", url)
-    spark.conf.set(s"spark.sql.catalog.$catalog.pushDownAggregate", "true")
-    spark.conf.set(s"spark.sql.catalog.$catalog.pushDownLimit", "true")
+    spark.conf.set(s"spark.sql.catalog.$cat.url", url)
+    spark.conf.set(s"spark.sql.catalog.$cat.pushDownAggregate", "true")
+    spark.conf.set(s"spark.sql.catalog.$cat.pushDownLimit", "true")
     propsMap.foreach { case (k, v) =>
-      spark.conf.set(s"spark.sql.catalog.$catalog.$k", v)
+      spark.conf.set(s"spark.sql.catalog.$cat.$k", v)
     }
-    spark.table(s"$catalog.$table")
+    spark.table(s"$cat.$table")
   }
 
   /** Pushed-down [min, max] of a string-comparable key EXPRESSION — same
@@ -355,6 +365,39 @@ object Jdbc {
       }
       buf.toSeq
     } finally conn.close()
+  }
+
+  /** [[listTables]] with the owning schema kept — the DSv2 catalog resolves
+    * identifiers verbatim and schema-qualified, so the live inventory needs
+    * `(schema, table)` pairs, not bare names. */
+  def listTablesQualified(url: String): Seq[(String, String)] = {
+    quietDerby
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (rs.next()) {
+        val schem = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+        if (!schem.toUpperCase.startsWith("SYS"))
+          buf += ((schem, rs.getString("TABLE_NAME")))
+      }
+      buf.toSeq
+    } finally conn.close()
+  }
+
+  /** Ungrouped COUNT(*) through a [[readV2]] relation, returned ONLY when
+    * Catalyst actually pushed the aggregate into the remote scan
+    * (`PushedAggregates` in the physical plan) — then the server computes
+    * it and one row crosses the wire. Returns None when the dialect
+    * declined the pushdown, so callers can fall back to the derived-table
+    * [[count]] instead of silently dragging the whole table over the
+    * connection to count it driver-side. */
+  def pushedCount(v2: org.apache.spark.sql.DataFrame): Option[Long] = {
+    import org.apache.spark.sql.functions.{count => fcount, lit}
+    val agg = v2.agg(fcount(lit(1)).as("n"))
+    if (agg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+      Some(agg.head().getLong(0))
+    else None
   }
 
   /** Tables visible in the CONNECTION'S CURRENT schema only — the existence

@@ -285,4 +285,18 @@ class JdbcSpec extends SparkTestBase {
     assert(lim.queryExecution.executedPlan.toString.contains("PushedLimit") ||
       lim.count() == 3) // dialect may decline the limit; row contract holds
   }
+
+  test("live inventory rides the pushed DSv2 count, qualified per schema") {
+    val region = Tables.load(spark, sfDir, "region")
+    Jdbc.write(region, url, "region_inv")
+    // pushedCount: Some(n) iff the ungrouped COUNT(*) actually pushed
+    // into the remote scan (Derby does); n must match the v1 count
+    val v2 = Jdbc.readV2(spark, url, "APP.REGION_INV")
+    assert(Jdbc.pushedCount(v2).contains(region.count()))
+    // the full inventory path: qualified listing + v2 schema + count
+    val items = graft.cli.Main.jdbcWorkItems(spark, url)
+    val inv = items.find(_.name == "region_inv").get
+    assert(inv.rowCount == region.count())
+    assert(inv.sizeBytes > 0)
+  }
 }
