@@ -4,16 +4,22 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
-  * columns with typed metadata structs, plus batch "decode" /
+  * columns with typed metadata structs, plus batch decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The actual codecs are NOT in this environment, so the decode kernel is a
-  * clearly-marked deterministic stub ([[FakeCodec]]) — but everything Spark
-  * cares about is real: the binary column schema, the typed case-class
-  * batch shape, the `mapPartitions` boundary (one codec init per partition,
-  * streaming iterator — the Scala analog of `mapInPandas` batching), and the
-  * partition sizing (`maxRecordsPerFile` / `files.maxPartitionBytes` keep a
-  * partition's worth of payloads in executor memory at 100 TB).
+  * Decode is REAL for the formats the JDK ships codecs for — images
+  * (PNG/JPEG/GIF/BMP, incl. multi-frame GIF) via `javax.imageio`, audio
+  * (WAV/AIFF/AU) via `javax.sound.sampled` ([[JvmCodec]]). Payloads are
+  * sniffed by magic bytes first (O(1) per row), so at 100 TB only real
+  * media pays a codec init; anything else falls through to the
+  * deterministic [[FakeCodec]] stub, which doubles as the seam where a
+  * deployment plugs heavier codecs (video, model-based embeddings). The
+  * Spark side is the same either way: the binary column schema, the typed
+  * case-class batch shape, the `mapPartitions` boundary (one codec context
+  * per partition, streaming iterator — the Scala analog of `mapInPandas`
+  * batching), and the partition sizing (`maxRecordsPerFile` /
+  * `files.maxPartitionBytes` keep a partition's worth of payloads in
+  * executor memory at 100 TB).
   */
 object Multimodal {
 
@@ -24,16 +30,138 @@ object Multimodal {
   final case class DecodedMeta(media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int, checksum: Long)
 
-  /** Deterministic stand-in for the image/audio codec. A real deployment
-    * swaps `decode` for the codec call; the signature and batching stay. */
+  /** Real JVM-native codecs for the formats the JDK ships decoders for.
+    * Every method answers None for payloads that are not that kind of
+    * media (magic-byte sniff, then a defensive decode), so the dispatch
+    * in [[Codec]] stays cheap on opaque blobs. */
+  object JvmCodec {
+
+    private[pipeline] def checksum(payload: Array[Byte]): Long = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+      sum
+    }
+
+    /** PNG / JPEG / GIF / BMP magic bytes. */
+    def sniffImage(p: Array[Byte]): Boolean =
+      p.length >= 8 && (
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 'B' && p(1) == 'M'))
+
+    /** RIFF/WAVE, AIFF (FORM), AU (.snd) magic bytes. */
+    def sniffAudio(p: Array[Byte]): Boolean =
+      p.length >= 12 && (
+        (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+        (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+        (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
+    /** Image header decode via the reader SPI: (width, height, n_frames,
+      * checksum) without materializing pixel data; n_frames counts the
+      * images in the container (animated GIF > 1). */
+    def decodeImage(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      if (!sniffImage(p)) None
+      else try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              val frames = try r.getNumImages(true) catch { case _: Throwable => 1 }
+              Some((r.getWidth(0), r.getHeight(0), math.max(frames, 1), checksum(p)))
+            } finally r.dispose()
+          }
+        } finally in.close()
+      } catch { case _: Throwable => None }
+
+    /** Audio header decode: (channels, sample bits, frame count, checksum)
+      * — the (w, h, frames) slots carry the audio analog dimensions. */
+    def decodeAudio(p: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      if (!sniffAudio(p)) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val f = ais.getFormat
+          Some((f.getChannels, f.getSampleSizeInBits,
+            math.max(ais.getFrameLength.toInt, 0), checksum(p)))
+        } finally ais.close()
+      } catch { case _: Throwable => None }
+
+    private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!sniffImage(p)) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+      catch { case _: Throwable => None }
+
+    private def scaled(img: java.awt.image.BufferedImage,
+        w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(math.max(w, 1), math.max(h, 1),
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, math.max(w, 1), math.max(h, 1), null)
+      } finally g.dispose()
+      out
+    }
+
+    /** Real bilinear resize, re-encoded as PNG bytes. */
+    def resampleImage(p: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+      readImage(p).map { img =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled(img, outW, outH), "png", bos)
+        bos.toByteArray
+      }
+
+    /** `dims` luminance means over a dims×1 downscale — a real (if tiny)
+      * visual signature in [0,1]; the model-based-embedding seam stays
+      * with [[FakeCodec]]. */
+    def imageFeatures(p: Array[Byte], dims: Int): Option[Array[Float]] =
+      readImage(p).map { img =>
+        val strip = scaled(img, dims, 1)
+        Array.tabulate(dims) { i =>
+          val rgb = strip.getRGB(i, 0)
+          val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+        }
+      }
+  }
+
+  /** Decode dispatch: real JVM codec when the payload IS real media, the
+    * deterministic [[FakeCodec]] stub otherwise — one call site per stage,
+    * so swapping in heavier codecs (video, model embeddings) touches
+    * nothing but this object. */
+  object Codec {
+    def decode(p: Array[Byte]): (Int, Int, Int, Long) =
+      JvmCodec.decodeImage(p).orElse(JvmCodec.decodeAudio(p))
+        .getOrElse(FakeCodec.decode(p))
+
+    def resample(p: Array[Byte], outW: Int, outH: Int): Array[Byte] =
+      JvmCodec.resampleImage(p, outW, outH)
+        .getOrElse(FakeCodec.resample(p, outW, outH))
+
+    def features(p: Array[Byte], dims: Int): Array[Float] =
+      JvmCodec.imageFeatures(p, dims).getOrElse(FakeCodec.features(p, dims))
+  }
+
+  /** Deterministic stand-in for codecs the JVM does NOT ship (video,
+    * model-based embeddings) and for opaque non-media payloads (the test
+    * tables' text blobs). A deployment swaps these bodies for native
+    * codec calls; the signatures and batching stay. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int, Long) = {
       val n = payload.length
-      var sum = 0L
-      var i = 0
-      while (i < n) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
-      // ??? real codec here — dimensions derived deterministically instead
-      (n % 640, (n * 7) % 480, n % 16, sum)
+      // ??? real video/container codec here — dimensions derived
+      // deterministically instead
+      (n % 640, (n * 7) % 480, n % 16, JvmCodec.checksum(payload))
     }
 
     /** ??? real resampler here — the output byte budget (outW·outH) and
@@ -86,7 +214,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition codec init would go here (expensive native handle)
       rows.map { r =>
-        val (w, h, f, cks) = FakeCodec.decode(r.payload)
+        val (w, h, f, cks) = Codec.decode(r.payload)
         DecodedMeta(r.media_id, r.kind, r.payload.length.toLong, w, h, f, cks)
       }
     }
@@ -107,18 +235,18 @@ object Multimodal {
   final case class ResizedMedia(media_id: Long, kind: String,
       width: Int, height: Int, payload: Array[Byte])
 
-  /** Resize stage: bound each payload to `maxW`×`maxH` — the batch
-    * boundary, output schema, and per-row byte budget (outW·outH) are the
-    * real contract; the pixel resampling is the documented [[FakeCodec]]
-    * seam. Integer-only dimension math so the oracle replays it. */
+  /** Resize stage: bound each payload to `maxW`×`maxH` — a REAL bilinear
+    * downscale re-encoded as PNG for JDK-decodable images; the documented
+    * [[FakeCodec]] seam (output byte budget outW·outH, integer-only
+    * dimension math so the oracle replays it) for everything else. */
   def resizeBatch(media: DataFrame, maxW: Int = 224, maxH: Int = 224): Dataset[ResizedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, _, _) = FakeCodec.decode(r.payload)
+        val (w, h, _, _) = Codec.decode(r.payload)
         val (ow, oh) = (math.min(w, maxW), math.min(h, maxH))
-        ResizedMedia(r.media_id, r.kind, ow, oh, FakeCodec.resample(r.payload, ow, oh))
+        ResizedMedia(r.media_id, r.kind, ow, oh, Codec.resample(r.payload, ow, oh))
       }
     }
   }
@@ -134,7 +262,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      rows.map(r => MediaFeatures(r.media_id, FakeCodec.features(r.payload, dims)))
+      rows.map(r => MediaFeatures(r.media_id, Codec.features(r.payload, dims)))
     }
   }
 

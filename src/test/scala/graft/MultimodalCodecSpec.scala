@@ -1,0 +1,95 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Multimodal
+import graft.pipeline.Multimodal.{Codec, FakeCodec, JvmCodec}
+
+/** The multimodal decode seam with REAL media: the JDK's own codecs
+  * (javax.imageio, javax.sound.sampled) must decode real PNG/WAV payloads
+  * through the same batch stages the opaque-blob path uses, while text
+  * payloads keep riding the deterministic FakeCodec stub (which is what
+  * the m1-m4 DuckDB gates replay). */
+class MultimodalCodecSpec extends SparkTestBase {
+
+  /** A w×h solid-color PNG. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A mono 16-bit PCM WAV with `frames` frames at 8 kHz. */
+  private def wav(frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (math.sin(i / 8.0) * 8000).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decodes to its true dimensions through decodeBatch") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(40, 20, 0xff0000)),
+      Multimodal.MediaRow(2L, "audio", wav(1000)),
+      Multimodal.MediaRow(3L, "video", "not media at all".getBytes("UTF-8")))
+      .toDF()
+    val got = Multimodal.decodeBatch(media).collect().map(d => d.media_id -> d).toMap
+    assert((got(1L).width, got(1L).height, got(1L).n_frames) == (40, 20, 1))
+    // audio: (channels, sample bits, frame count) ride the same slots
+    assert((got(2L).width, got(2L).height, got(2L).n_frames) == (1, 16, 1000))
+    // opaque payload falls back to the deterministic stub exactly
+    val p3 = "not media at all".getBytes("UTF-8")
+    assert((got(3L).width, got(3L).height, got(3L).n_frames, got(3L).checksum) ==
+      FakeCodec.decode(p3))
+  }
+
+  test("resizeBatch really downscales a decodable image") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "image", png(64, 64, 0x00ff00))).toDF()
+    val out = Multimodal.resizeBatch(media, maxW = 16, maxH = 16).collect().head
+    assert((out.width, out.height) == (16, 16))
+    // the resized payload is itself a real PNG of the bounded dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert((back.getWidth, back.getHeight) == (16, 16))
+  }
+
+  test("featureBatch yields real luminance for images, stub for blobs") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(32, 32, 0xffffff)),
+      Multimodal.MediaRow(2L, "image", png(32, 32, 0x000000))).toDF()
+    val f = Multimodal.featureBatch(media, dims = 4).collect()
+      .map(r => r.media_id -> r.features).toMap
+    assert(f(1L).forall(v => v > 0.95f && v <= 1f), s"white: ${f(1L).toSeq}")
+    assert(f(2L).forall(v => v >= 0f && v < 0.05f), s"black: ${f(2L).toSeq}")
+  }
+
+  test("magic-byte sniff keeps opaque payloads off the codec path") {
+    assert(JvmCodec.sniffImage(png(2, 2, 0)) && JvmCodec.sniffAudio(wav(4)))
+    val text = "RIFFxxxx but not WAVE".getBytes("UTF-8")
+    assert(!JvmCodec.sniffImage(text) && !JvmCodec.sniffAudio(text))
+    // dispatch equals the stub bit-for-bit on non-media
+    assert(Codec.decode(text) == FakeCodec.decode(text))
+    assert(Codec.features(text, 8).sameElements(FakeCodec.features(text, 8)))
+  }
+}
