@@ -14,6 +14,8 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// MIRRORED in run_tool.sh (the outside-sbt runner): a change here must be
+// applied there too, or tool runs drift to different JVM flags.
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",

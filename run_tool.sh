@@ -1,6 +1,9 @@
 #!/bin/bash
 # Run a graft main class outside sbt (same JVM flags as build.sbt).
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# FLAG SOURCE OF TRUTH: build.sbt (jdk17AddOpens + javaOptions). If those
+# change, change the OPENS list / properties below to match — build.sbt
+# carries the mirror-comment pointing back here.
+CP="$(cd "$(dirname "$0")" && pwd)/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \

@@ -89,6 +89,15 @@ object Bench {
       // scan partitions; the library default (128m) stays untouched — at
       // 100 TB files arrive pre-split and bigger tasks are correct.
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // stateful streaming entries run on the POLICY state store
+      // (Engine.stateStoreProvider): in-memory while projected state fits
+      // the heap, RocksDB above that — measured constants in SCALE.md
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.core.Engine.stateStoreProvider(sfDir))
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fns = SparkEntry.queries
@@ -154,13 +163,30 @@ object Bench {
     val streamWidth = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       graft.core.Engine.streamShuffleWidth(sfDir, cpus.toInt).toString)
     spark.conf.set("spark.sql.shuffle.partitions", streamWidth)
-    def streamOnce(build: () => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // per-entry state-store evidence from the last completed run: which
+    // provider the policy chose, summed state-commit time, peak state
+    // memory, rows updated — so the artifact shows WHAT the state machinery
+    // cost, not just the wall time it rode in
+    val streamStateInfo = scala.collection.mutable.Map.empty[String, String]
+    def streamOnce(name: String,
+        build: () => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
         val q = build().writeStream.format("noop")
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .start()
         try q.processAllAvailable() finally q.stop()
+        val ops = q.recentProgress.flatMap(p =>
+          Option(p.stateOperators).getOrElse(Array.empty))
+        if (ops.nonEmpty) {
+          val provider =
+            if (spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+              .contains("RocksDB")) "rocksdb" else "memory"
+          streamStateInfo(name) =
+            s""""$name":{"provider":"$provider","commit_ms":${ops.map(_.commitTimeMs).sum},""" +
+            s""""mem_bytes":${ops.map(_.memoryUsedBytes).max},""" +
+            s""""rows_updated":${ops.map(_.numRowsUpdated).sum}}"""
+        }
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
@@ -173,7 +199,7 @@ object Bench {
     // streams run one batch of reps (no re-run pass): noisy = that spread
     val streamResults: Seq[(String, Seq[Double], Boolean)] =
       streamDefs.filter(d => keep(d._1)).map { case (n, b) =>
-        val ts = (1 to reps).flatMap(_ => streamOnce(b))
+        val ts = (1 to reps).flatMap(_ => streamOnce(n, b))
         (n, ts, spread(ts) > NoisyRatio)
       }
     spark.conf.set("spark.sql.shuffle.partitions", shuffle)
@@ -191,16 +217,57 @@ object Bench {
     // environment; a changed plan_sha is a real plan change. This is
     // planning work only for most queries, but index-backed ones (sim2,
     // sim6) run their small probe/build jobs while constructing the frame.
-    val planSha = queries.Headline.benchNames.filter(keep).map { name =>
-      val sha = try {
-        val plan = maskPlan(fns(name)(spark, sfDir).queryExecution.executedPlan
-          .canonicalized.toString)
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .take(6).map(b => f"$b%02x").mkString
-      } catch { case _: Throwable => "error" }
-      "\"" + name + "\":\"" + sha + "\""
-    }.mkString("{", ",", "}")
+    val planShaPairs: Seq[(String, String)] =
+      queries.Headline.benchNames.filter(keep).map { name =>
+        val sha = try {
+          val plan = maskPlan(fns(name)(spark, sfDir).queryExecution.executedPlan
+            .canonicalized.toString)
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .take(6).map(b => f"$b%02x").mkString
+        } catch { case _: Throwable => "error" }
+        name -> sha
+      }
+    val planSha = planShaPairs.map { case (n, s) => "\"" + n + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    // plan-regression gate: diff each fingerprint against the committed
+    // per-tier baseline (`bench_plans.json` in cwd) and name every changed
+    // plan in the output, so plan drift is machine-flagged the round it
+    // happens instead of hand-noted rounds later (PLANS.md history). Keyed
+    // by tier basename because tiers plan differently (derived shuffle
+    // width, AQE stats) — a scale-probe run must not read as "every plan
+    // changed", nor may it clobber the sf0.1 baseline the driver's
+    // round-end run diffs against. Only queries present in both runs can
+    // "change"; first-run / newly-added queries aren't drift. Fingerprints
+    // are masked per maskPlan, so a flip here is a REAL plan change, not a
+    // path or session artifact. The baseline updates in place each run:
+    // committing it alongside the round's code is what arms the next
+    // round's diff.
+    val tierKey = new java.io.File(sfDir).getName
+    val plansPath = java.nio.file.Paths.get("bench_plans.json")
+    val prevPlansTxt: String = try {
+      new String(java.nio.file.Files.readAllBytes(plansPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case _: Throwable => "{}" }
+    val tierRe = ("\"" + java.util.regex.Pattern.quote(tierKey) + "\":\\{([^}]*)\\}").r
+    val prevShas: Map[String, String] =
+      tierRe.findFirstMatchIn(prevPlansTxt).map(_.group(1))
+        .map { body =>
+          """"([^"]+)":"([^"]+)"""".r.findAllMatchIn(body)
+            .map(g => g.group(1) -> g.group(2)).toMap
+        }.getOrElse(Map.empty)
+    val planChanged = planShaPairs.collect {
+      case (n, s) if prevShas.get(n).exists(_ != s) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
+    // write back this tier's fingerprints, preserving the other tiers' maps
+    try {
+      val otherTiers = """"([^"]+)":(\{[^}]*\})""".r.findAllMatchIn(prevPlansTxt)
+        .map(g => g.group(1) -> g.group(2)).toMap - tierKey
+      val merged = (otherTiers + (tierKey -> planSha)).toSeq.sortBy(_._1)
+        .map { case (t, m) => "\"" + t + "\":" + m }.mkString("{", ",", "}")
+      java.nio.file.Files.write(plansPath,
+        (merged + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     // headline stays min-of-reps; rep_times persists EVERY rep so a
     // round-over-round swing is attributable (did the reps agree, or did
     // one environmental outlier poison the min?)
@@ -219,7 +286,9 @@ object Bench {
     val streamTotal = streamResults.filter(_._2.nonEmpty).map(_._2.min).sum
     val failed = all.collect { case (k, ts, _) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"stream_total_sec":${fmt(streamTotal)},"stream_events_per_sec":$streamEps,"failed":$failed,"reps":$reps,"shuffle":$shuffle,"sf":"$sfDir""""
+    val streamState = streamDefs.map(_._1).flatMap(streamStateInfo.get)
+      .mkString("{", ",", "}")
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"stream_total_sec":${fmt(streamTotal)},"stream_events_per_sec":$streamEps,"stream_state":$streamState,"failed":$failed,"plan_changed":$planChanged,"reps":$reps,"shuffle":$shuffle,"sf":"$sfDir""""
     val full = s"""{$head,"rep_times":$repTimes,"plan_sha":$planSha}"""
     // capture-proof artifact first, THEN the stdout line the driver tails.
     // The stdout line is the COMPACT form — totals, per-query min, noisy /

@@ -145,20 +145,39 @@ object Main {
     * one row crosses the wire; the reference's SYSTABLE-joined counts at
     * migration.py:1699,1704 are this shape). Falls back to the v1
     * derived-table count when a dialect declines aggregate pushdown —
-    * still server-side, never a full-table drag. Declared sizes from the
-    * schema widths. One row per TABLE — driver-side assembly stays
-    * catalog-sized, never data-sized. */
+    * still server-side, never a full-table drag. One row per TABLE —
+    * driver-side assembly stays catalog-sized, never data-sized.
+    *
+    * Row widths: when the server carries a SYSCOLUMN-shaped width catalog
+    * (`widthCatalog` — columns `table_name`, `width`, one row per column,
+    * like the reference's `SYS.SYSCOLUMN` sizing at migration.py:1704-1706),
+    * per-table widths come from ONE pushed grouped `SUM(width) GROUP BY
+    * table_name` (`Jdbc.pushedGroupedSum`, derived-table `Jdbc.groupedSum`
+    * fallback) instead of the reference's per-table filtered re-query.
+    * Tables absent from the catalog — and the default no-catalog mode —
+    * size from the client-visible schema widths. */
   def jdbcWorkItems(spark: org.apache.spark.sql.SparkSession,
-      url: String): Seq[Extract.WorkItem] =
+      url: String, widthCatalog: Option[String] = None): Seq[Extract.WorkItem] = {
+    val catWidths: Map[String, Long] = widthCatalog.map { wc =>
+      val viaV2 =
+        try graft.sources.Jdbc.pushedGroupedSum(
+          graft.sources.Jdbc.readV2(spark, url, wc), "table_name", "width")
+        catch { case _: Throwable => None }
+      viaV2.getOrElse(
+          graft.sources.Jdbc.groupedSum(spark, url, wc, "table_name", "width"))
+        .map { case (t, w) => t.toLowerCase -> w }.toMap
+    }.getOrElse(Map.empty)
     graft.sources.Jdbc.listTablesQualified(url).sortBy(_._2)
       .zipWithIndex.map { case ((schem, n), i) =>
         val v2 = graft.sources.Jdbc.readV2(spark, url,
           if (schem.nonEmpty) s"$schem.$n" else n)
         val cnt = graft.sources.Jdbc.pushedCount(v2)
           .getOrElse(graft.sources.Jdbc.count(spark, url, n))
-        Extract.WorkItem(n.toLowerCase, cnt,
-          cnt * Catalog.rowWidth(v2.schema), 2000 + i)
+        val width = catWidths.getOrElse(n.toLowerCase,
+          Catalog.rowWidth(v2.schema).toLong)
+        Extract.WorkItem(n.toLowerCase, cnt, cnt * width, 2000 + i)
       }
+  }
 
   private def onlyDataFrom(spark: org.apache.spark.sql.SparkSession,
       out: String, batchCapBytes: Long,

@@ -121,6 +121,38 @@ object Multimodal {
         bos.toByteArray
       }
 
+    /** Frame `idx` of a multi-frame image container decoded to PNG bytes —
+      * REAL pixels for the containers the JDK ships a decoder for (animated
+      * GIF; any imageio reader reporting >1 image). Frames are the
+      * container's raw per-frame rasters — GIF delta frames are NOT
+      * composited onto their predecessors: a training-data sampler wants
+      * independently decodable payloads, and compositing policy belongs to
+      * the consumer. None for non-image payloads, a missing reader, or an
+      * out-of-range index. */
+    def extractFrame(p: Array[Byte], idx: Int): Option[Array[Byte]] =
+      if (!sniffImage(p)) None
+      else try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              val n = try r.getNumImages(true) catch { case _: Throwable => 1 }
+              if (idx < 0 || idx >= math.max(n, 1)) None
+              else {
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(r.read(idx), "png", bos)
+                Some(bos.toByteArray)
+              }
+            } finally r.dispose()
+          }
+        } finally in.close()
+      } catch { case _: Throwable => None }
+
     /** `dims` luminance means over a dims×1 downscale — a real (if tiny)
       * visual signature in [0,1]; the model-based-embedding seam stays
       * with [[FakeCodec]]. */
@@ -273,5 +305,37 @@ object Multimodal {
       .filter(col("kind") === "video" && col("n_frames") > 0)
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"))
+  }
+
+  /** One sampled frame WITH its pixel payload. `decoded=false` marks a
+    * frame the JVM could not actually decode (true video — no JDK codec):
+    * the payload is EMPTY, never synthetic bytes posing as pixels. */
+  final case class SampledFrame(media_id: Long, kind: String, frame_idx: Int,
+      width: Int, height: Int, payload: Array[Byte], decoded: Boolean)
+
+  /** Frame sampling WITH payloads: every `everyNth` frame of each
+    * multi-frame container, through the same per-partition codec boundary
+    * as the other stages. REAL frames (PNG-encoded rasters via
+    * [[JvmCodec.extractFrame]]) for the containers the JDK decodes —
+    * animated GIF being the one shipped multi-frame codec; for true video
+    * the row keeps the fan-out shape but carries an empty payload and
+    * `decoded=false` — an explicit marker at the codec seam where a
+    * deployment's video codec plugs in, not a silent fake. */
+  def sampleFramePayloads(media: DataFrame, everyNth: Int = 4): Dataset[SampledFrame] = {
+    require(everyNth > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, nFrames, _) = Codec.decode(r.payload)
+        (0 until math.max(nFrames, 0) by everyNth).iterator.map { i =>
+          JvmCodec.extractFrame(r.payload, i) match {
+            case Some(png) => SampledFrame(r.media_id, r.kind, i, w, h, png, decoded = true)
+            case None =>
+              SampledFrame(r.media_id, r.kind, i, w, h, Array.emptyByteArray, decoded = false)
+          }
+        }
+      }
+    }
   }
 }

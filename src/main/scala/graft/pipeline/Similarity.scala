@@ -361,6 +361,38 @@ object Similarity {
     * projection cost while a cosine-0.98 pair still collides in ≥1 band
     * with p ≈ 1-1e-6). Callers pick r/b per threshold and corpus size;
     * candidates are exact-rechecked either way. */
+  /** Bits-per-band for [[srpBandedPairs]], derived from corpus size and the
+    * target cosine threshold — the scaladoc'd cost model made executable so
+    * callers stop hand-picking constants that silently stop pruning at the
+    * next decade (the BENCH_sf1 probe measured exactly that: fixed r=8 went
+    * 419× candidates at 10× corpus).
+    *
+    * Two competing constraints pick r:
+    *  - PRUNING floor: an uncorrelated pair collides in ≥1 of `numBands`
+    *    r-bit bands with p ≈ b/2^r, so expected junk candidates are
+    *    n²/2 · b/2^r. Holding that to ~`perIdBudget` candidates per vector
+    *    (linear total) needs r ≥ log₂(b·n / (2·budget)) — r grows one bit
+    *    per corpus DOUBLING, which is what makes the prune scale-stable.
+    *  - RECALL ceiling: a pair at angle θ (cos θ = threshold) agrees on one
+    *    whole band with (1-θ/π)^r, so band recall 1-(1-(1-θ/π)^r)^b falls
+    *    as r grows; rMax is the largest r that keeps recall ≥ `minRecall`
+    *    for a pair AT the threshold (pairs above it do strictly better).
+    * When the floor exceeds the ceiling (≈10⁹ vectors at b=32, t=0.98) the
+    * ceiling wins — recall is the contract — and the caller must grow
+    * `numBands` with the next decades instead (each ×2 of b buys one more
+    * bit of r at the same recall). */
+  def rForCorpus(n: Long, threshold: Double, numBands: Int = 32,
+      minRecall: Double = 0.999, perIdBudget: Int = 32): Int = {
+    require(n > 0 && threshold > -1.0 && threshold < 1.0)
+    val pBit = 1.0 - math.acos(threshold) / math.Pi
+    def recall(r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(pBit, r), numBands)
+    val rMax = (1 to 62).takeWhile(r => recall(r) >= minRecall).lastOption.getOrElse(1)
+    val rPrune = math.ceil(
+      math.log(numBands.toDouble * n / (2.0 * perIdBudget)) / math.log(2.0)).toInt
+    math.max(1, math.min(rMax, math.max(rPrune, 8)))
+  }
+
   def srpBandedPairs(corpus: DataFrame, idCol: String, vecCol: String,
       bitsPerBand: Int = 4, numBands: Int = 64): DataFrame = {
     val nplanes = bitsPerBand * numBands

@@ -240,13 +240,18 @@ object Pipeline {
         |WHERE cs >= 0.98 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val corpus = plantedNearDupCorpus(Tables.load(s, dir, "embeddings"))
       val e = corpus.withColumn("nrm", Similarity.norm(col("v")))
-      // r=16/b=32: at threshold 0.98 a qualifying pair still collides in
-      // >=1 band with p ~ 1-1e-6, while an UNCORRELATED pair's collision
-      // rate drops to 32/2^16 ~ 0.05% of all pairs — the BENCH_sf1 probe
-      // measured the previous r=8 config (0.4% rate) going 419x from
-      // sf0.1 to sf1: a constant-factor prune on a quadratic candidate
-      // space; r=16 buys 256x more pruning for 2x projection cost
-      Similarity.srpBandedPairs(corpus, "vec_id", "v", bitsPerBand = 16, numBands = 32)
+      // r DERIVED from the corpus via the documented cost model
+      // (Similarity.rForCorpus): one more bit per corpus doubling keeps
+      // junk-candidate volume linear, capped by the recall ceiling at the
+      // 0.98 threshold. The BENCH_sf1 probe measured why a constant here
+      // fails (fixed r=8 went 419x candidates at 10x corpus); the fixed
+      // r=16 it was replaced with would itself stop pruning ~2^16 vectors
+      // later. n comes from the raw parquet footer (metadata count, no
+      // scan) + the 50 planted copies.
+      val n = s.read.parquet(s"$dir/embeddings.parquet").count() + 50
+      Similarity.srpBandedPairs(corpus, "vec_id", "v",
+        bitsPerBand = Similarity.rForCorpus(n, threshold = 0.98, numBands = 32),
+        numBands = 32)
         .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
           Seq("id_a"))
         .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),

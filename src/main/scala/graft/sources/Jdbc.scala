@@ -400,6 +400,43 @@ object Jdbc {
     else None
   }
 
+  /** Grouped SUM through a [[readV2]] relation — `SELECT g, SUM(s) GROUP BY
+    * g` — returned ONLY when Catalyst pushed the whole aggregate into the
+    * remote scan (`PushedAggregates`): then the server computes it and one
+    * row PER GROUP crosses the wire. This is the reference's SYSCOLUMN
+    * sizing query (`migration.py:1704-1706` — `sum(width) … where
+    * table_id=…`) re-shaped the way it scales: the reference re-issues the
+    * filtered sum once per table (N round trips); one pushed GROUP BY ships
+    * the whole width inventory in a single remote aggregate. Returns None
+    * when the dialect declined the pushdown so callers fall back to
+    * [[groupedSum]] — still server-side, never a data-sized drag. Known
+    * decline: a LOB-typed group key (Derby stores unbounded strings as
+    * CLOB, which it cannot compare/group); catalogs keyed on bounded
+    * VARCHAR identifiers push fine — JdbcSpec pins both behaviors. */
+  def pushedGroupedSum(v2: DataFrame, groupCol: String,
+      sumCol: String): Option[Seq[(String, Long)]] = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val agg = v2.groupBy(col(groupCol)).agg(sum(col(sumCol)).as("s"))
+    if (agg.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+      Some(agg.collect().toSeq
+        .map(r => r.get(0).toString -> r.getAs[Number](1).longValue()))
+    else None
+  }
+
+  /** Derived-table fallback for the same grouped sum: the v1 relation can't
+    * push aggregates, so the GROUP BY is written into the remote query
+    * verbatim — the server still computes it and group-sized rows cross the
+    * wire, exactly like [[count]]/[[bounds]] do for their shapes. */
+  def groupedSum(spark: SparkSession, url: String, table: String,
+      groupCol: String, sumCol: String): Seq[(String, Long)] = {
+    quietDerby
+    spark.read.jdbc(url,
+      s"""(SELECT "$groupCol" AS g, SUM("$sumCol") AS s FROM $table GROUP BY "$groupCol") gs_q""",
+      props())
+      .collect().toSeq
+      .map(r => r.get(0).toString -> r.getAs[Number](1).longValue())
+  }
+
   /** Tables visible in the CONNECTION'S CURRENT schema only — the existence
     * probe the load promote/recovery path needs. [[listTables]]'s all-schema
     * scan would let a same-named table in ANOTHER schema trigger (or

@@ -31,10 +31,34 @@ object GenScale {
   private def gauss(u1: Column, u2: Column): Column =
     sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) * cos(lit(2 * math.Pi) * u2)
 
+  /** Zipf-ish rank in [0, n): inverse CDF of the continuous density x^-s on
+    * [1, n+1], so P(rank = k) ≈ (k+1)^-s (rank 0 is the hottest key).
+    * Used by `--zipf s` to produce genuinely skewed key columns — the
+    * uniform `pmod(xxhash64)` keys of the default tiers never exercise the
+    * salted/AQE skew paths, which is exactly the evidence gap the skew
+    * probe exists to close (SCALE.md). */
+  private def zipfRank(uu: Column, n: Long, s: Double): Column = {
+    val x =
+      if (s == 1.0) pow(lit(n + 1.0), uu)
+      else {
+        val a = 1.0 - s
+        pow(uu * (math.pow(n + 1.0, a) - 1.0) + 1.0, 1.0 / a)
+      }
+    least(floor(x).cast("long") - 1, lit(n - 1))
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: GenScale <outDir> [scale]")
+    require(args.nonEmpty, "usage: GenScale <outDir> [scale] [--zipf s]")
     val out = args(0)
-    val scale = if (args.length > 1) args(1).toInt else 10
+    val pos = args.filterNot(_.startsWith("--")).drop(1)
+    val scale = pos.headOption.map(_.toInt).getOrElse(10)
+    // --zipf s: skew events.user_id and lineitem.l_suppkey with exponent s
+    // (default 0 = uniform, the driver-tier shape). Key RANGES are
+    // unchanged, so every cross-table join stays valid; only the key
+    // frequency distribution changes.
+    val zipfS = args.sliding(2).collectFirst {
+      case Array("--zipf", v) => v.toDouble
+    }.getOrElse(0.0)
     val spark = Engine.session("graft-genscale")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -58,10 +82,19 @@ object GenScale {
       * expect that shape) — but with 16 MB row groups, so the big tables
       * are SPLITTABLE for parallel scan like real large-scale data; the
       * source tier's single-row-group files make every scan one task,
-      * which at 6M rows turns the map side into a serial bottleneck. */
+      * which at 6M rows turns the map side into a serial bottleneck.
+      *
+      * `repartition(1)`, NOT `coalesce(1)`: coalesce collapses the whole
+      * upstream compute into the single writer task (at the sf100 tier
+      * that is 600M rows of hashing serialized onto one core); the
+      * repartition keeps generation parallel across the 32 input slices
+      * and only the final write is single-task. Row ORDER in the file
+      * becomes shuffle-arrival order — values stay a pure function of row
+      * id, and no consumer of a generated tier depends on file order
+      * (the order-sensitive gates run on the driver's own tiers). */
     def writeOne(df: DataFrame, name: String): Unit = {
       val staging = s"$out/_stage_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite)
+      df.repartition(1).write.mode(SaveMode.Overwrite)
         .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(staging)
       val conf = spark.sparkContext.hadoopConfiguration
@@ -131,7 +164,8 @@ object GenScale {
     writeOne(ids(nLine, "l").select(
       pmod(xxhash64(col("id"), lit("lo")), lit(nOrd)).as("l_orderkey"),
       pmod(xxhash64(col("id"), lit("lp")), lit(nPart)).as("l_partkey"),
-      pmod(xxhash64(col("id"), lit("ls")), lit(nSupp)).as("l_suppkey"),
+      (if (zipfS > 0) zipfRank(u(col("id"), lit("ls")), nSupp, zipfS)
+       else pmod(xxhash64(col("id"), lit("ls")), lit(nSupp))).as("l_suppkey"),
       (pmod(col("id"), lit(7)) + 1).cast("int").as("l_linenumber"),
       ((u(col("id"), lit("lq")) * 50).cast("int") + 1).cast("double").as("l_quantity"),
       round(u(col("id"), lit("le")) * 104099 + 901, 2).as("l_extendedprice"),
@@ -151,7 +185,8 @@ object GenScale {
       col("id").as("event_id"),
       ((lit(1704067200000000L) + (u(col("id"), lit("ets")) * monthUs).cast("long"))
         * 1000).as("ts"),
-      pmod(xxhash64(col("id"), lit("eu")), lit(nUser)).as("user_id"),
+      (if (zipfS > 0) zipfRank(u(col("id"), lit("eu")), nUser, zipfS)
+       else pmod(xxhash64(col("id"), lit("eu")), lit(nUser))).as("user_id"),
       pick(u(col("id"), lit("ee")),
         Seq("click", "view", "purchase", "signup", "error")).as("event_type"),
       round(u(col("id"), lit("ev")) * 560, 2).as("value"),

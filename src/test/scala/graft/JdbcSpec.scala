@@ -299,4 +299,41 @@ class JdbcSpec extends SparkTestBase {
     assert(inv.rowCount == region.count())
     assert(inv.sizeBytes > 0)
   }
+
+  test("live inventory sizes through one pushed grouped SUM(width)") {
+    import spark.implicits._
+    // a SYSCOLUMN-shaped width catalog on the server: one row per column,
+    // keyed by table name (the reference's migration.py:1704-1706 shape)
+    val region = Tables.load(spark, sfDir, "region")
+    Jdbc.write(region.select("r_regionkey", "r_name"), url, "width_inv")
+    // explicit VARCHAR DDL: the writer's default maps StringType to CLOB,
+    // and a LOB group key makes Catalyst decline aggregate pushdown (the
+    // fallback would still answer, but this test pins the PUSHED plan);
+    // a real server's column catalog keys on bounded identifiers anyway
+    Jdbc.execute(url,
+      """CREATE TABLE graft_syscol ("table_name" VARCHAR(128), "width" INT)""")
+    Jdbc.write(
+      Seq(("width_inv", 4), ("width_inv", 32), ("other_t", 100))
+        .toDF("table_name", "width"),
+      url, "graft_syscol", SaveMode.Append)
+    // the grouped SUM(width) must PUSH into the remote scan — one grouped
+    // aggregate for the whole width inventory, not a per-table re-query
+    val v2 = Jdbc.readV2(spark, url, "APP.GRAFT_SYSCOL")
+    val pushed = Jdbc.pushedGroupedSum(v2, "table_name", "width")
+    assert(pushed.isDefined, "grouped SUM(width) did not push into the JDBC scan")
+    assert(pushed.get.toMap == Map("width_inv" -> 36L, "other_t" -> 100L))
+    // the derived-table fallback computes the same sums server-side
+    assert(Jdbc.groupedSum(spark, url, "graft_syscol", "table_name", "width")
+      .toMap == Map("width_inv" -> 36L, "other_t" -> 100L))
+    // the CLI inventory path rides it: catalog width for listed tables,
+    // schema-derived width for tables the catalog doesn't cover
+    val items = graft.cli.Main.jdbcWorkItems(spark, url,
+      widthCatalog = Some("APP.GRAFT_SYSCOL"))
+    val wi = items.find(_.name == "width_inv").get
+    assert(wi.rowCount == region.count())
+    assert(wi.sizeBytes == wi.rowCount * 36L)
+    val self = items.find(_.name == "graft_syscol").get
+    assert(self.sizeBytes == self.rowCount *
+      graft.core.Catalog.rowWidth(v2.schema))
+  }
 }

@@ -92,4 +92,57 @@ class MultimodalCodecSpec extends SparkTestBase {
     assert(Codec.decode(text) == FakeCodec.decode(text))
     assert(Codec.features(text, 8).sameElements(FakeCodec.features(text, 8)))
   }
+
+  /** An animated GIF: `frames` solid-color frames written as one
+    * multi-image container via the JDK's own GIF writer sequence API. */
+  private def animatedGif(w: Int, h: Int, frames: Int): Array[Byte] = {
+    import javax.imageio.ImageIO
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val out = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { i =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(i * 40 % 256, 0, 0)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  test("sampleFramePayloads extracts REAL frames from a multi-frame GIF") {
+    import spark.implicits._
+    val gif = animatedGif(16, 12, 5)
+    // the container really is multi-frame through the metadata decode
+    assert(JvmCodec.decodeImage(gif).map(d => (d._1, d._2, d._3)) == Some((16, 12, 5)))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", gif),
+      Multimodal.MediaRow(2L, "video", "definitely not a video".getBytes("UTF-8")))
+      .toDF()
+    val got = Multimodal.sampleFramePayloads(media, everyNth = 2).collect()
+    // GIF: frames 0, 2, 4 sampled, every payload a REAL decodable PNG of
+    // the container's dimensions
+    val gifFrames = got.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(gifFrames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(gifFrames.forall(_.decoded))
+    gifFrames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.payload))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12)
+    }
+    // true video (no JDK codec): fan-out shape survives, payloads are
+    // explicitly EMPTY with decoded=false — marked, not faked
+    val stubFrames = got.filter(_.media_id == 2L)
+    assert(stubFrames.nonEmpty)
+    assert(stubFrames.forall(f => !f.decoded && f.payload.isEmpty))
+    // out-of-range / non-image extraction answers None, never throws
+    assert(JvmCodec.extractFrame(gif, 99).isEmpty)
+    assert(JvmCodec.extractFrame("blob".getBytes("UTF-8"), 0).isEmpty)
+  }
 }

@@ -587,4 +587,29 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(acc.value == li.count())
   }
+
+  test("rForCorpus grows ~1 bit per corpus doubling, capped by the recall ceiling") {
+    import graft.pipeline.Similarity
+    // the three gate-tier corpus sizes of the d8 query (embeddings + 50
+    // planted): the derived r at b=32, t=0.98
+    assert(Similarity.rForCorpus(70, 0.98) == 8)     // sf0.001: floor wins
+    assert(Similarity.rForCorpus(250, 0.98) == 8)    // sf0.01: floor wins
+    assert(Similarity.rForCorpus(2050, 0.98) == 11)  // sf0.1: pruning bound
+    // pruning bound keeps growing with the corpus (sf100 tier: 2M vectors)
+    assert(Similarity.rForCorpus(2000050, 0.98) == 20)
+    // …until the recall ceiling caps it (~1e9 vectors at b=32): recall is
+    // the contract, so r stops at the largest value holding >= 0.999 band
+    // recall for a pair AT the threshold; beyond that b must grow instead
+    assert(Similarity.rForCorpus(2000000000L, 0.98) == 24)
+    // the ceiling really does hold the recall contract at the chosen r
+    val pBit = 1.0 - math.acos(0.98) / math.Pi
+    def recall(r: Int) = 1.0 - math.pow(1.0 - math.pow(pBit, r), 32)
+    Seq(70L, 2050L, 2000050L, 2000000000L).foreach { n =>
+      assert(recall(Similarity.rForCorpus(n, 0.98)) >= 0.999, s"recall broken at n=$n")
+    }
+    // monotone non-decreasing in n (no decade can LOSE pruning)
+    val rs = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
+      .map(Similarity.rForCorpus(_, 0.98))
+    assert(rs == rs.sorted, s"r not monotone: $rs")
+  }
 }
