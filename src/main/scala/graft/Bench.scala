@@ -89,6 +89,14 @@ object Bench {
       // scan partitions; the library default (128m) stays untouched — at
       // 100 TB files arrive pre-split and bigger tasks are correct.
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // aggressive periodic GC so the ContextCleaner actually releases
+      // finished queries' shuffle files: at a large bench heap (sf100 runs
+      // 64g) ordinary GC pressure is too low to ever collect the shuffle
+      // references, the cleaner never fires, and tens of GB of dead
+      // shuffle data accumulate until the disk fills — measured: the first
+      // sf100 attempt died ENOSPC mid-warmup with ~50 GB of orphaned
+      // shuffle dirs. Long-lived real deployments run exactly this knob.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       // stateful streaming entries run on the POLICY state store
       // (Engine.stateStoreProvider): in-memory while projected state fits
       // the heap, RocksDB above that — measured constants in SCALE.md
@@ -260,10 +268,15 @@ object Bench {
       case (n, s) if prevShas.get(n).exists(_ != s) => "\"" + n + "\""
     }.mkString("[", ",", "]")
     // write back this tier's fingerprints, preserving the other tiers' maps
+    // AND this tier's entries for queries outside the current name filter —
+    // a SPARK_GRAFT_BENCH_ONLY probe must refresh only what it measured,
+    // not clobber the full-set baseline down to its subset
     try {
       val otherTiers = """"([^"]+)":(\{[^}]*\})""".r.findAllMatchIn(prevPlansTxt)
         .map(g => g.group(1) -> g.group(2)).toMap - tierKey
-      val merged = (otherTiers + (tierKey -> planSha)).toSeq.sortBy(_._1)
+      val tierMerged = (prevShas ++ planShaPairs.toMap).toSeq.sortBy(_._1)
+        .map { case (n, s) => "\"" + n + "\":\"" + s + "\"" }.mkString("{", ",", "}")
+      val merged = (otherTiers + (tierKey -> tierMerged)).toSeq.sortBy(_._1)
         .map { case (t, m) => "\"" + t + "\":" + m }.mkString("{", ",", "}")
       java.nio.file.Files.write(plansPath,
         (merged + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -109,6 +109,11 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // release finished queries' shuffle files promptly: big heaps GC so
+      // rarely that the ContextCleaner otherwise never fires and dead
+      // shuffle data accumulates until the disk fills (measured at the
+      // sf100 bench tier — see Bench.scala)
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.streaming.stateStore.providerClass",
         dataDir.map(stateStoreProvider(_)).getOrElse(
           sys.env.get("SPARK_GRAFT_STATESTORE") match {
