@@ -170,6 +170,44 @@ object Similarity {
     path
   }
 
+  /** Incremental index maintenance: admit NEW vectors into an existing
+    * index by assigning each to its nearest persisted centroid (the same
+    * L2 argmin rule [[kmeansCells]] assigns with — broadcast centroids,
+    * executor-side argmin) and APPENDING them to the cell-partitioned
+    * layout. One scan of the delta, no retrain, no rewrite of the resident
+    * corpus — at 100 TB this is the difference between a daily index
+    * rebuild and a minutes-scale delta append. Queries pick the additions
+    * up immediately: [[ivfTopK]] re-lists the cell directories per read,
+    * and rerank inside probed cells is exact regardless of assignment.
+    *
+    * The centroids deliberately do NOT move: they are probe-routing
+    * metadata, and drifting them per delta would silently re-route other
+    * queries. Centroid staleness degrades probe CHOICE only (recall at
+    * fixed nprobe), never rerank exactness; operators re-train (a fresh
+    * [[ivfBuildTrained]]) when the accumulated delta fraction warrants
+    * it. Returns the number of vectors appended. */
+  def ivfAdd(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      delta: DataFrame, idCol: String, vecCol: String, cellCol: String): Long = {
+    require(new java.io.File(indexPath + "/_centroids/_SUCCESS").exists(),
+      s"no complete IVF index at $indexPath — build with ivfBuild* first")
+    val cent = broadcast(readCentroids(spark, indexPath)
+      .select(col(cellCol).as("__cell"),
+        transform(col("centroid"), x => x.cast("double")).as("__cvec"))
+      .withColumn("__cnorm2", dot(col("__cvec"), col("__cvec"))))
+    // argmin by grouping on the full delta row (ids unique by contract →
+    // groups are rows; the group-by carries the payload columns through
+    // without a second join back to the delta)
+    val assigned = delta
+      .crossJoin(cent)
+      .withColumn("__score", lit(-2.0) * dot(col(vecCol), col("__cvec")) + col("__cnorm2"))
+      .groupBy(delta.columns.map(col): _*)
+      .agg(min(struct(col("__score"), col("__cell"))).as("__m"))
+      .withColumn(cellCol, col("__m.__cell")).drop("__m")
+    val n = assigned.count()
+    assigned.write.mode("append").partitionBy(cellCol).parquet(indexPath)
+    n
+  }
+
   /** Query the persisted IVF index: rank the (broadcast) persisted centroids
     * per query, prune the corpus read to the union of probed cells — a
     * PartitionFilters-pruned scan, PlanSpec-asserted — and exact re-rank

@@ -155,6 +155,32 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_unique_sentences"), col("n_shared_sentences"))
   }
 
+  /** Benchmark decontamination (the n-gram–overlap removal list every
+    * public LLM training pipeline runs against its eval sets — e.g.
+    * GPT-3 appendix C / PaLM's 13-gram variant): a train document is
+    * contaminated when it shares at least one word n-gram with any eval
+    * document. Returns (idCol, n_matched) for contaminated train docs
+    * only — n_matched counts DISTINCT shared n-grams — which is the
+    * removal list a curation job anti-joins against.
+    *
+    * 100 TB posture: eval sets are benchmark-sized by contract (at most
+    * a few million distinct n-grams), so their distinct-gram table is
+    * broadcast — the corpus side stays a map-side semi-join riding the
+    * documents scan, no corpus shuffle until the per-doc count (which is
+    * keyed on the already-distinct (doc, gram) pairs). If an eval corpus
+    * ever exceeds the broadcast budget, drop the hint and the same plan
+    * degrades to a shuffled join; nothing else changes. */
+  def decontaminationHits(train: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    def grams(docs: DataFrame, cols: Column*): DataFrame = docs
+      .select(cols :+ TextOps.tokens(col(textCol)).as("w"): _*)
+      .select(cols :+ explode(TextOps.gramsOfTokens(col("w"), n)).as("gram"): _*)
+    val evalGrams = grams(evalDocs).distinct()
+    grams(train, col(idCol)).distinct()
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_matched"))
+  }
+
   /** Token counts: whitespace tokens and BPE-ish sub-tokens
     * (letter runs / digit runs / single symbols). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -574,6 +574,46 @@ object Pipeline {
             .as("meets_floor"))
     },
 
+    // sim8: INCREMENTAL index maintenance — ivfAdd assigns a delta (clones
+    // of vec_id < 3, re-identified +10M) to nearest-centroid cells and
+    // appends them to a fresh index; the probed search over the mutated
+    // index must equal DuckDB's exact KNN over corpus ∪ delta (nprobe =
+    // all cells ⇒ exact). A mis-assigned cell, a lost append, or stale
+    // directory listing drops the planted rank-1 clones and the hash goes
+    // red. Fresh temp index per call: the add MUTATES its index, so the
+    // shared build-once caches (sim2/sim6) must never see it.
+    QueryDef(
+      "sim8_ivf_add",
+      """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |            FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0
+        |      UNION ALL SELECT vec_id + 10000000, v FROM e0 WHERE vec_id < 3),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        round(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i]))
+        |              / (q.nrm * c.nrm), 6) AS cosine
+        |      FROM n q JOIN n c ON c.vec_id != q.vec_id WHERE q.vec_id < 3),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |      FROM p)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfadd")
+        .resolve("idx").toString
+      Similarity.ivfBuild(
+        Tables.load(s, dir, "embeddings").select("vec_id", "embedding", "label"),
+        "embedding", "label", path)
+      val delta = e.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfAdd(s, path, delta, "vec_id", "embedding", "label")
+      Similarity.ivfTopK(s, path, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "label", k = 5, nprobe = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // Sign-random-projection bucket histogram — the cosine-LSH scale path.
     QueryDef(
       "sim3_srp_buckets",
@@ -802,6 +842,32 @@ object Pipeline {
         |FROM d JOIN c USING (sent) GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
       TextAnalysis.sentenceDedupCensus(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // t14: benchmark decontamination — the removal list of train docs
+    // sharing any word 5-gram with a deterministic held-out "eval set"
+    // (doc_id % 97 = 0 stands in for the benchmark corpus; the split is
+    // replayable in both engines). Eval grams broadcast (benchmark-sized
+    // by contract); the corpus side rides the documents scan map-side.
+    QueryDef(
+      "t14_decontaminate",
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |             FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(generate_series(1, greatest(len(w)-4, 0)),
+        |               i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS gram
+        |      FROM tok),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.decontaminationHits(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
         .orderBy("doc_id")
     },
 
@@ -1185,6 +1251,30 @@ object Pipeline {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")
+    },
+
+    // st7: corpus-ingest dedup — the batch twin of DocStream.ingestDedup
+    // (streaming parity pinned in StreamingSpec). The curated corpus is the
+    // deterministic doc_id % 3 = 0 slice; the "arriving" feed is the rest;
+    // admitted = feed docs whose content fingerprint is absent from the
+    // corpus. Census per source so the output is corpus-stat-sized.
+    QueryDef(
+      "st7_ingest_dedup",
+      s"""WITH f AS (SELECT doc_id, source, $fingerprintSql AS fp FROM documents),
+         |corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0)
+         |SELECT source, count(*) AS n_admitted,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+         |FROM f WHERE doc_id % 3 <> 0 AND fp NOT IN (SELECT fp FROM corpus)
+         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.streaming.DocStream.ingestDedup(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0))
+        .select(col("source"), graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_admitted"),
+          countDistinct(col("fp")).as("n_distinct"))
+        .orderBy("source")
     }
   )
 }

@@ -612,4 +612,66 @@ class PipelineSpec extends SparkTestBase {
       .map(Similarity.rForCorpus(_, 0.98))
     assert(rs == rs.sorted, s"r not monotone: $rs")
   }
+
+  test("ivfAdd appends into the live index: additions found, centroids untouched") {
+    import java.nio.file.Files
+    import graft.pipeline.Similarity
+    val dir = Files.createTempDirectory("graft_ivfadd").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/idx"
+    val corpus = emb.select("vec_id", "embedding").limit(60).localCheckpoint()
+    Similarity.ivfBuildTrained(corpus, "vec_id", "embedding", k = 4, iters = 2, path)
+    val centBefore = Similarity.readCentroids(spark, path)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // plant: a copy of an existing vector under a fresh id — its argmin
+    // cell is that vector's cell, and rerank must surface it at cosine 1
+    val donor = corpus.orderBy("vec_id").limit(1).collect()(0)
+    val delta = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(999999L, donor.get(1))),
+      corpus.schema)
+    assert(Similarity.ivfAdd(spark, path, delta, "vec_id", "embedding", "cell") == 1L)
+    // query WITH the donor vector (distinct query id): the planted copy is
+    // an exact match and must appear in the top-k of the probed search
+    val q = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(-1L, donor.get(1))),
+      corpus.schema)
+    val top = Similarity.ivfTopK(spark, path, q, "vec_id", "embedding", "cell",
+        k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.exists { case (id, cos) => id == 999999L && cos == 1.0 },
+      s"planted addition missing from $top")
+    // routing metadata is immutable under add — probe behavior of other
+    // queries cannot silently change
+    val centAfter = Similarity.readCentroids(spark, path)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(centAfter == centBefore)
+    // a fresh add of a batch keeps counting
+    val delta2 = corpus.limit(5).select(col("vec_id") + 1000000L, col("embedding"))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.ivfAdd(spark, path, delta2, "vec_id", "embedding", "cell") == 5L)
+  }
+
+  test("decontamination flags exactly the planted n-gram overlap") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val evalDocs = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares two distinct eval 5-grams (tokens 1..6 of the eval doc)
+      (1L, "x alpha beta gamma delta epsilon zeta y"),
+      // shares words but never 5 consecutive ones
+      (2L, "alpha beta gamma x delta epsilon zeta"),
+      // shorter than n: can never match
+      (3L, "alpha beta"),
+      // exact copy: all its grams hit
+      (4L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val hits = TextAnalysis.decontaminationHits(train, evalDocs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 4L -> 2L), s"got $hits")
+    // case-insensitivity rides TextOps.tokens (lower-cased split)
+    val upper = TextAnalysis.decontaminationHits(
+      Seq((9L, "ALPHA Beta GAMMA delta EPSILON")).toDF("doc_id", "text"),
+      evalDocs, "doc_id", "text", n = 5)
+    assert(upper.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 1L)))
+  }
 }

@@ -181,4 +181,29 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == exp)
   }
+
+  test("streaming ingest-dedup admits exactly the batch anti-join set (stateless)") {
+    import graft.streaming.DocStream
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+    val stream = DocStream.ingestDedup(DocStream.readStream(spark, sfDir)
+        .filter(col("doc_id") % 3 =!= 0), corpus)
+    // stateless op → Append mode, no watermark required
+    val q = stream.writeStream
+      .format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.lastProgress.stateOperators.isEmpty) // the stateless contract
+    val got = spark.table("ingest_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exp = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 =!= 0)
+      .withColumn("fp", graft.pipeline.TextOps.fingerprint(col("text")))
+      .join(corpus.select(
+        graft.pipeline.TextOps.fingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == exp && got.nonEmpty)
+  }
 }
