@@ -60,6 +60,11 @@ object SkewProbe {
     // ---- fact-dim join on the skewed key (broadcast off: the over-budget
     // dim regime); all three variants must agree on cardinality
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // untimed warmup pass: the FIRST measured variant otherwise absorbs all
+    // the JIT + parquet-footer + page-cache cost (measured 27.8 s first rep
+    // vs 7.7 s second at sf10) and the variant comparison inverts
+    li.join(supp, li("l_suppkey") === supp("s_suppkey")).count()
+    ev.groupBy(col("user_id")).agg(count(lit(1))).count()
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     val nAqe = time("join plain (AQE skew-split ON)") {
       li.join(supp, li("l_suppkey") === supp("s_suppkey")).count()
