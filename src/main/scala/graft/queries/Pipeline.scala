@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, Tables}
-import graft.pipeline.{Dedup, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Mix, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal / streaming-window), each with a DuckDB oracle that replays the
@@ -869,6 +869,37 @@ object Pipeline {
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5)
         .orderBy("doc_id")
+    },
+
+    // mix1: domain-mixing sampler — rebalance per-source token mass toward
+    // a target weighting (src0..src4 boosted 3x) by deterministic
+    // hash-gated down-sampling; the census row carries the basis-point gate
+    // itself so the oracle asserts the rate computation, not just survivors.
+    QueryDef(
+      "mix1_domain_mix",
+      """WITH tok AS (SELECT source, text,
+        |               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |             FROM documents),
+        |src AS (SELECT source, CAST(sum(toks) AS BIGINT) AS src_tokens,
+        |          CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |               THEN 3.0 ELSE 1.0 END AS w
+        |        FROM tok GROUP BY source),
+        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+        |               sum(w) AS total_w FROM src),
+        |rt AS (SELECT source,
+        |         CAST(floor(10000 * least(1.0,
+        |           w / total_w * total_tokens / src_tokens)) AS BIGINT) AS rate_bp
+        |       FROM src, tot)
+        |SELECT t.source, r.rate_bp, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(t.toks) AS BIGINT) AS tokens_kept
+        |FROM tok t JOIN rt r USING (source)
+        |WHERE CAST(('0x' || substr(md5(t.text), 1, 8)) AS BIGINT) % 10000 < r.rate_bp
+        |GROUP BY t.source, r.rate_bp ORDER BY t.source""".stripMargin) { (s, dir) =>
+      Mix.domainMixCensus(
+        Tables.load(s, dir, "documents"), "source", "text",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 3.0)
+          .otherwise(1.0))
+        .orderBy("source")
     },
 
     // t10/st4: approximate-distinct census (HLL++ sketches). At 100 TB the

@@ -674,4 +674,32 @@ class PipelineSpec extends SparkTestBase {
       evalDocs, "doc_id", "text", n = 5)
     assert(upper.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 1L)))
   }
+
+  test("domain mix boosts under-target sources to keep-all and thins the rest") {
+    import spark.implicits._
+    import graft.pipeline.Mix
+    // two sources with equal token mass; srcA weighted 3x: its target share
+    // (3/4) exceeds its actual share (1/2) -> rate capped at 1.0 (10000 bp);
+    // srcB's target (1/4) is half its actual -> rate floor(5000) bp
+    val docs = (0 until 400).map { i =>
+      val src = if (i % 2 == 0) "srcA" else "srcB"
+      (i.toLong, src, s"tok$i alpha beta gamma")   // 4 tokens each
+    }.toDF("doc_id", "source", "text")
+    val census = Mix.domainMixCensus(docs, "source", "text",
+      when(col("source") === "srcA", 3.0).otherwise(1.0))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (aRate, aKept, aToks) = census("srcA")
+    assert(aRate == 10000L && aKept == 200L && aToks == 800L,
+      s"boosted source must keep everything, got $census")
+    val (bRate, bKept, _) = census("srcB")
+    assert(bRate == 5000L, s"srcB rate must be exactly half, got $bRate")
+    // hash gate is uniform-ish: kept fraction within 10pp of the rate
+    assert(math.abs(bKept / 200.0 - 0.5) < 0.1, s"srcB kept $bKept of 200")
+    // determinism: same input -> identical census
+    val again = Mix.domainMixCensus(docs, "source", "text",
+      when(col("source") === "srcA", 3.0).otherwise(1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == census.map { case (s, (r, k, _)) => (s, r, k) }.toSet)
+  }
 }
