@@ -172,6 +172,57 @@ object Dedup {
         round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs: LSH candidate generation between a
+    * train corpus and a (typically much smaller) reference/eval corpus with
+    * exact Jaccard verification — the FUZZY complement of
+    * `TextAnalysis.decontaminationHits`' exact n-gram containment (a
+    * lightly-edited eval document shares high Jaccard but may share no
+    * exact 5-gram). Output (id_a ∈ corpus, id_b ∈ ref, jaccard).
+    *
+    * Scale shape: both sides build banded signatures independently (the
+    * same wide-aggregate, no row blow-up); the candidate join is a band
+    * equi-join where the REF side is eval-set-sized — its checkpointed
+    * bucket table carries accurate stats, so Catalyst broadcasts it and the
+    * corpus side never shuffles for candidacy. Verification is linear in
+    * candidate pairs, never corpus². */
+  def minhashLshCrossPairs(corpus: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, numPerm: Int = 64,
+      rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    val shA = TextOps.shingleTable(corpus, idCol, textCol, shingleN)
+      .repartition(col("id")).localCheckpoint()
+    val shB = TextOps.shingleTable(ref, idCol, textCol, shingleN)
+      .repartition(col("id")).localCheckpoint()
+    val bB = bucketsOfShingles(shB, numPerm, rowsPerBand).localCheckpoint()
+    val cand = bucketsOfShingles(shA, numPerm, rowsPerBand).as("x")
+      .join(bB.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyJaccardCross(shA, shB, cand, threshold)
+  }
+
+  /** Cross-corpus exact-Jaccard verify: like `verifyJaccard` but each pair
+    * side pulls its shingle set from its OWN corpus's table (id spaces may
+    * overlap across corpora, so the sets cannot share one aggregate). */
+  private def verifyJaccardCross(shA: DataFrame, shB: DataFrame,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    def sets(sh: DataFrame, side: String) = sh
+      .join(cand.select(col(side).as("id")).distinct(), Seq("id"), "left_semi")
+      .groupBy("id")
+      .agg(collect_list(col("s")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sets(shA, "id_a")
+        .select(col("id").as("id_a"), col("set").as("sa"), col("n").as("na")),
+        Seq("id_a"))
+      .join(sets(shB, "id_b")
+        .select(col("id").as("id_b"), col("set").as("sb"), col("n").as("nb")),
+        Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("c") / (col("na") + col("nb") - col("c")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
+  }
+
   /** Exact n-gram-Jaccard pairs ≥ threshold (no LSH), with PREFIX-FILTERED
     * candidate generation (the AllPairs/PPJoin family — Bayardo et al.,
     * "Scaling Up All Pairs Similarity Search", WWW'07; public algorithm).

@@ -902,6 +902,32 @@ object Pipeline {
         .orderBy("source")
     },
 
+    // d9: FUZZY decontamination — cross-corpus MinHash-LSH near-dup pairs
+    // between the train split and a held-out slice (the planted every-50th
+    // near-dups: their seeds sit in train, so the gate is non-vacuous on
+    // every tier). Exact complement: t14's 5-gram containment. Oracle is
+    // the exact all-pairs cross Jaccard, so it also pins LSH recall at the
+    // gated threshold.
+    QueryDef(
+      "d9_decontaminate_fuzzy",
+      s"""WITH ${shingleCte(3)},
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.s = b.s
+         |          WHERE a.doc_id % 50 <> 49 AND b.doc_id % 50 = 49
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(c / (na.n + nb.n - c), 4) AS jaccard
+         |FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+         |WHERE c / (na.n + nb.n - c) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashLshCrossPairs(
+        docs.filter(col("doc_id") % 50 =!= 49),
+        docs.filter(col("doc_id") % 50 === 49),
+        "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
     // t10/st4: approximate-distinct census (HLL++ sketches). At 100 TB the
     // exact forms (t4's countDistinct fingerprint census, st3's distinct
     // users) shuffle EVERY distinct value to its reducer; the sketch form

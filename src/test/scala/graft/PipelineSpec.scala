@@ -675,6 +675,26 @@ class PipelineSpec extends SparkTestBase {
     assert(upper.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 1L)))
   }
 
+  test("cross-corpus LSH finds exactly the planted train-eval near-dups") {
+    import spark.implicits._
+    val base = "spark query hash scan join plan data node key batch merge " +
+      "group sort filter stream cache index column order value"
+    val train = Seq(
+      (1L, base),                             // near-dup of eval 100
+      (2L, base.split(" ").reverse.mkString(" ")), // same words, J ~ 0
+      (3L, "totally unrelated words here about nothing in particular at all"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (100L, base + " extra"),                // J = n/(n+1) ~ 0.95 vs doc 1
+      (101L, "another disjoint evaluation document text body"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshCrossPairs(train, evalDocs, "doc_id", "text",
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 100L)), s"got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 0.9, s"planted pair jaccard ${pairs.head._3}")
+  }
+
   test("domain mix boosts under-target sources to keep-all and thins the rest") {
     import spark.implicits._
     import graft.pipeline.Mix
