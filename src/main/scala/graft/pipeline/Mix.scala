@@ -76,4 +76,39 @@ object Mix {
       .groupBy("source", "rate_bp")
       .agg(count(lit(1)).as("n_kept"), sum("toks").as("tokens_kept"))
   }
+
+  /** Token-budget sequence packing census: assign documents to fixed-budget
+    * training sequences by the concat-and-chunk discipline (docs in stable
+    * id order, a pack is the `budget`-token window the document STARTS in),
+    * then report per-pack document count and token mass. This is the
+    * streaming-concat approximation every large pretraining pipeline uses —
+    * exact bin-packing is NP-hard and order-destroying; chunked concat is
+    * one scan, deterministic, and keeps source locality.
+    *
+    * Scale shape: the running token total is a window partitioned by
+    * `sourceCol` — packing never crosses a domain, and each domain sorts
+    * independently. A single hot domain would serialize its own sort (the
+    * window partition is the unit of parallelism); at 100 TB the deployment
+    * answer is a finer packing key (e.g. source × date shard), which this
+    * operator takes as-is via `sourceCol`. No global sort anywhere.
+    */
+  def tokenPackCensus(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      textCol: String,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col(sourceCol).as("source"),
+        col(idCol).as("id"),
+        wsTokens(col(textCol)).as("toks"))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("toks")) / lit(budget)).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_tokens"))
+  }
 }

@@ -902,6 +902,28 @@ object Pipeline {
         .orderBy("source")
     },
 
+    // pack1: token-budget sequence packing (concat-and-chunk) — pack
+    // assignment is a per-source running token total, so the census is a
+    // pure window + aggregate and the oracle replays it exactly.
+    QueryDef(
+      "pack1_token_pack",
+      """WITH tok AS (SELECT source, doc_id,
+        |               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS toks
+        |             FROM documents),
+        |cum AS (SELECT source, toks,
+        |          sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS c
+        |        FROM tok)
+        |SELECT source, CAST(floor((c - toks) / 256) AS BIGINT) AS pack_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS pack_tokens
+        |FROM cum GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin) {
+      (s, dir) =>
+        Mix.tokenPackCensus(Tables.load(s, dir, "documents"),
+          "source", "doc_id", "text", budget = 256)
+          .orderBy("source", "pack_id")
+    },
+
     // d9: FUZZY decontamination — cross-corpus MinHash-LSH near-dup pairs
     // between the train split and a held-out slice (the planted every-50th
     // near-dups: their seeds sit in train, so the gate is non-vacuous on

@@ -675,6 +675,25 @@ class PipelineSpec extends SparkTestBase {
     assert(upper.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 1L)))
   }
 
+  test("token packing chunks each source at the budget boundary") {
+    import spark.implicits._
+    import graft.pipeline.Mix
+    // srcA: docs of 6,6,6 tokens, budget 10 -> starts at cum 0,6,12 ->
+    // packs 0,0,1; srcB: one 25-token doc overflows its own pack (never
+    // split): pack 0 alone
+    val docs = Seq(
+      (1L, "srcA", "a b c d e f"),
+      (2L, "srcA", "g h i j k l"),
+      (3L, "srcA", "m n o p q r"),
+      (4L, "srcB", (1 to 25).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Mix.tokenPackCensus(docs, "source", "doc_id", "text", budget = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("srcA", 0L, 2L, 12L), ("srcA", 1L, 1L, 6L),
+      ("srcB", 0L, 1L, 25L)), s"got $got")
+  }
+
   test("cross-corpus LSH finds exactly the planted train-eval near-dups") {
     import spark.implicits._
     val base = "spark query hash scan join plan data node key batch merge " +
