@@ -101,7 +101,17 @@ object Engine {
     val width = sys.env.get("SPARK_GRAFT_SHUFFLE")
       .orElse(dataDir.map(d => shuffleWidth(d, n.toInt).toString))
       .getOrElse(n)
-    SparkSession.builder()
+    // durable-stage policy (see core.Stage): local checkpoints are only
+    // safe while staged intermediates can't evict; once the tier is within
+    // 2x of the heap they can, and an evicted block's recompute races the
+    // periodic shuffle GC. Env-overridable for A/B probes.
+    val durableStage = sys.env.get("SPARK_GRAFT_STAGE") match {
+      case Some("durable") => true
+      case Some("local") => false
+      case _ => dataDir.exists(d =>
+        dataBytes(d) > Runtime.getRuntime.maxMemory() / 2)
+    }
+    val sp = SparkSession.builder()
       .master(s"local[$n]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", width)
@@ -124,7 +134,15 @@ object Engine {
         "true")
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
         "false")
+      .config("spark.graft.durableStage", durableStage.toString)
+      // reclaim checkpoint files of dereferenced frames: self-contained
+      // files, so (unlike shuffle cleanup) a clean cannot strand a reader
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
+    if (durableStage && sp.sparkContext.getCheckpointDir.isEmpty)
+      sp.sparkContext.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sp.sparkContext.applicationId}")
+    sp
   }
 
   /** RocksDB state store: state off-heap with block-cache + native disk

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Stage.Staged
 import graft.functions.Portable
 
 /** Deduplication operators for large-scale corpus curation.
@@ -127,12 +128,12 @@ object Dedup {
     // expensive projection in the pipeline), spread by id so the
     // materialized blocks aren't one partition from the single-file read
     val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
-      .repartition(col("id")).localCheckpoint()
+      .repartition(col("id")).stage()
     // materialize the bucket table once: the self-join consumes it twice
     // and would otherwise recompute the whole shingle->signature subtree
     // per side (and estimate its size blind, scattering one-off broadcast
     // jobs). One computation, accurate stats, both sides read the blocks.
-    val b = bucketsOfShingles(sh, numPerm, rowsPerBand).localCheckpoint()
+    val b = bucketsOfShingles(sh, numPerm, rowsPerBand).stage()
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
@@ -189,10 +190,10 @@ object Dedup {
       textCol: String, threshold: Double = 0.8, numPerm: Int = 64,
       rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
     val shA = TextOps.shingleTable(corpus, idCol, textCol, shingleN)
-      .repartition(col("id")).localCheckpoint()
+      .repartition(col("id")).stage()
     val shB = TextOps.shingleTable(ref, idCol, textCol, shingleN)
-      .repartition(col("id")).localCheckpoint()
-    val bB = bucketsOfShingles(shB, numPerm, rowsPerBand).localCheckpoint()
+      .repartition(col("id")).stage()
+    val bB = bucketsOfShingles(shB, numPerm, rowsPerBand).stage()
     val cand = bucketsOfShingles(shA, numPerm, rowsPerBand).as("x")
       .join(bB.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
@@ -263,7 +264,7 @@ object Dedup {
     // minhashLshPairs); repartition by id up front so the tokenize/explode
     // work is spread before materialization
     val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
-      .repartition(col("id")).localCheckpoint()
+      .repartition(col("id")).stage()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix carries each doc's shingle count so the join can apply the
@@ -279,7 +280,7 @@ object Dedup {
       .join(sizes, Seq("id"))
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select("id", "s", "n", "rank")
-      .localCheckpoint()
+      .stage()
     // positional filter (PPJoin, Xiao et al. WWW'08): a match on shingle s
     // at ranks (ra, rb) bounds the overlap by 1 + min(na-ra, nb-rb); a pair
     // whose bound can't reach the required minimum overlap

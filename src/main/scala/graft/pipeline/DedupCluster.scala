@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Stage.Staged
+
 /** Near-duplicate clustering: connected components over the pair graph,
   * so each duplicate group keeps one representative (the min id) — the step
   * that turns pair detection into an actual corpus dedup.
@@ -21,10 +23,10 @@ object DedupCluster {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .distinct()
-      .localCheckpoint()
+      .stage()
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("rep", col("id"))
-      .localCheckpoint()
+      .stage()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -33,7 +35,7 @@ object DedupCluster {
       val next = labels.select(col("id"), col("rep"))
         .unionByName(neighborReps)
         .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint()
+        .stage()
       converged = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
         .filter(col("rep") =!= col("old")).isEmpty
       labels = next

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Stage.Staged
+
 /** Product quantization (Jégou, Douze, Schmid, "Product Quantization for
   * Nearest Neighbor Search", TPAMI 2011 — public): compress each vector to
   * `m` sub-codes by running k-means independently in `m` subspaces, then
@@ -58,7 +60,7 @@ object Pq {
     import spark.implicits._
     import graft.functions.Portable
     val vsub = subvectors(corpus, idCol, vecCol, m, dim)
-      .repartition(col("id")).localCheckpoint()
+      .repartition(col("id")).stage()
     // seeds: the k lowest-hash vectors donate their subvector to EVERY
     // subspace's codebook. The k-row pick is a TakeOrdered limit (never a
     // global window over the corpus); the row_number window then runs on

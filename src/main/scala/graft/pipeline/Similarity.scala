@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Stage.Staged
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), with a brute-force exact baseline and an IVF
   * (inverted-file) cell-probed variant as the scale path.
@@ -84,7 +86,7 @@ object Similarity {
     // repartitioned working set once instead of re-reading and re-shuffling
     // the source every job
     val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(col("id")).localCheckpoint()
+      .repartition(col("id")).stage()
     // deterministic seeding: k vectors with the smallest id-hash
     var cents: Seq[(Int, Seq[Double])] = v
       .withColumn("h", Portable.hash32(col("id").cast("string")))
@@ -453,7 +455,7 @@ object Similarity {
       // materialize once: the self-join consumes the band table twice and
       // would otherwise re-run the ×nplanes projection per side (same
       // rationale as minhashLshPairs' bucket checkpoint); n·b small rows
-      .localCheckpoint()
+      .stage()
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

@@ -1,6 +1,7 @@
 package graft.tools
 
 import graft.core.{Engine, Tables}
+import graft.core.Stage.Staged
 
 /** Dev probe: isolate the minhash signature build and time it under
   * different codegen field limits, to attribute wide-aggregate cost. */
@@ -30,7 +31,7 @@ object MinhashProbe {
     // full-pipeline time
     import org.apache.spark.sql.functions._
     val sh = graft.pipeline.TextOps.shingleTable(docs, "doc_id", "text", 2)
-      .localCheckpoint()
+      .stage()
     println(s"d4 shingles=${sh.count()} docs=${docs.count()}")
     val t1 = System.nanoTime()
     val pairs = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -54,7 +55,7 @@ object MinhashProbe {
       .join(sizes, Seq("id"))
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select("id", "s", "n", "rank")
-      .localCheckpoint()
+      .stage()
     println(s"d4 prefixRows=${timed("prefix")(prefix.count())}")
     val minOverlap =
       ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")) - lit(1e-9))
@@ -64,7 +65,7 @@ object MinhashProbe {
           lit(1) + least(col("a.n") - col("a.rank"), col("b.n") - col("b.rank")) >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .localCheckpoint()
+      .stage()
     println(s"d4 candRows=${timed("cand")(cand.count())}")
     // raw (pre-distinct) match volume: how much the join itself fans out
     val raw = prefix.as("a").join(prefix.as("b"),
