@@ -108,6 +108,13 @@ object Bench {
         "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // staging policy (core.Stage): Bench builds its own session (bench-
+    // specific knobs above), so it must apply the durable-stage policy
+    // itself — the second sf100 attempt died in the localCheckpoint
+    // eviction-vs-shuffle-GC race precisely because the round-13 policy
+    // lived only in Engine.session and Bench never set the flag
+    graft.core.Engine.applyDurableStage(spark,
+      graft.core.Engine.durableStagePolicy(sfDir))
     val fns = SparkEntry.queries
     // optional name filter (dev loop / scale probes — e.g. BENCH_sf10 runs
     // only the subquadratic set, leaving out the quadratic-by-spec d5 and

@@ -92,6 +92,41 @@ object Engine {
     }
   }
 
+  /** Deserialized staged-intermediate bytes per tier parquet byte. The
+    * evictable objects are the STAGED frames (shingle tables, LSH bucket
+    * tables, SRP signatures), which are multiples of the source tier:
+    * d2's banded-join shuffle carries ~10× the input bytes (measured,
+    * SCALE.md) and cached deserialized rows inflate parquet bytes several
+    * fold before any blow-up. 4× is the conservative floor of that range —
+    * enough that the 21.5 GB sf100 tier (whose raw bytes sat BELOW heap/2
+    * at a 48 GiB heap while its staged intermediates evicted and died in
+    * the eviction-vs-shuffle-GC race) now projects over the line. */
+  val StagedBytesFactor = 4L
+
+  /** Durable-stage POLICY (see [[Stage]]): local checkpoints are only safe
+    * while staged intermediates can't evict; once their PROJECTED footprint
+    * (tier bytes × [[StagedBytesFactor]]) crosses half the heap they can,
+    * and an evicted block's recompute races the periodic shuffle GC.
+    * Env-overridable for A/B probes (`SPARK_GRAFT_STAGE=durable|local`). */
+  def durableStagePolicy(dataDir: String,
+      maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Boolean =
+    sys.env.get("SPARK_GRAFT_STAGE") match {
+      case Some("durable") => true
+      case Some("local") => false
+      case _ => dataBytes(dataDir) * StagedBytesFactor > maxHeapBytes / 2
+    }
+
+  /** Apply the durable-stage policy to a session: sets the conf flag Stage
+    * reads and (when durable) a checkpoint dir. Called at session CREATION
+    * only — flipping the flag on a live session would change the staging
+    * policy under other code mid-run. */
+  def applyDurableStage(sp: SparkSession, durable: Boolean): Unit = {
+    sp.conf.set("spark.graft.durableStage", durable.toString)
+    if (durable && sp.sparkContext.getCheckpointDir.isEmpty)
+      sp.sparkContext.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sp.sparkContext.applicationId}")
+  }
+
   def session(appName: String = "graft", cpus: Option[String] = None,
       dataDir: Option[String] = None): SparkSession = {
     val n = cpus.orElse(sys.env.get("SPARK_GRAFT_CPUS"))
@@ -101,16 +136,13 @@ object Engine {
     val width = sys.env.get("SPARK_GRAFT_SHUFFLE")
       .orElse(dataDir.map(d => shuffleWidth(d, n.toInt).toString))
       .getOrElse(n)
-    // durable-stage policy (see core.Stage): local checkpoints are only
-    // safe while staged intermediates can't evict; once the tier is within
-    // 2x of the heap they can, and an evicted block's recompute races the
-    // periodic shuffle GC. Env-overridable for A/B probes.
-    val durableStage = sys.env.get("SPARK_GRAFT_STAGE") match {
-      case Some("durable") => true
-      case Some("local") => false
-      case _ => dataDir.exists(d =>
-        dataBytes(d) > Runtime.getRuntime.maxMemory() / 2)
-    }
+    val durableStage = dataDir.exists(durableStagePolicy(_))
+    // getOrCreate may REUSE a live session; remember it so the staging
+    // policy is only applied to sessions this call actually creates —
+    // re-deriving it from a new call's dataDir would silently flip the
+    // policy for other code holding the same session mid-run
+    val pre = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .filter(s => !s.sparkContext.isStopped)
     val sp = SparkSession.builder()
       .master(s"local[$n]")
       .appName(appName)
@@ -134,14 +166,11 @@ object Engine {
         "true")
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
         "false")
-      .config("spark.graft.durableStage", durableStage.toString)
       // reclaim checkpoint files of dereferenced frames: self-contained
       // files, so (unlike shuffle cleanup) a clean cannot strand a reader
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
-    if (durableStage && sp.sparkContext.getCheckpointDir.isEmpty)
-      sp.sparkContext.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sp.sparkContext.applicationId}")
+    if (!pre.contains(sp)) applyDurableStage(sp, durableStage)
     sp
   }
 

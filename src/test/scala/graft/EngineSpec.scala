@@ -106,6 +106,35 @@ class EngineSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("durable-stage policy projects staged footprint with a multiplier") {
+    assume(sys.env.get("SPARK_GRAFT_STAGE").isEmpty)
+    val bytes = graft.core.Engine.dataBytes(sfDir)
+    assert(bytes > 0)
+    // staged footprint = bytes × 4; durable exactly when that crosses
+    // heap/2 — so a heap of 7× tier bytes is over the line (4 > 3.5)...
+    assert(graft.core.Engine.durableStagePolicy(sfDir, maxHeapBytes = bytes * 7))
+    // ...and 9× is under it (4 < 4.5). The multiplier is the fix for the
+    // sf100 postmortem: tier bytes alone sat below heap/2 while the staged
+    // intermediates still evicted.
+    assert(!graft.core.Engine.durableStagePolicy(sfDir, maxHeapBytes = bytes * 9))
+  }
+
+  test("session reuse does not flip the durable-stage policy mid-run") {
+    val before = spark.conf.getOption("spark.graft.durableStage")
+    try {
+      // simulate a live session running under the durable policy...
+      spark.conf.set("spark.graft.durableStage", "true")
+      // ...then a second caller asks for a session keyed on a tiny tier
+      // (whose policy would be "local"): getOrCreate reuses, and the
+      // staging policy must stay what the session was created with
+      val s2 = graft.core.Engine.session("graft-reuse-test", dataDir = Some(sfDir))
+      assert(s2.conf.get("spark.graft.durableStage") == "true")
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.graft.durableStage", v)
+      case None => spark.conf.unset("spark.graft.durableStage")
+    }
+  }
+
   test("every oracle name is a declared query and every query runs") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
