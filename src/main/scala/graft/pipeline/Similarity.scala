@@ -205,9 +205,13 @@ object Similarity {
       .groupBy(delta.columns.map(col): _*)
       .agg(min(struct(col("__score"), col("__cell"))).as("__m"))
       .withColumn(cellCol, col("__m.__cell")).drop("__m")
-    val n = assigned.count()
-    assigned.write.mode("append").partitionBy(cellCol).parquet(indexPath)
-    n
+    // count observed DURING the append (same single-pass pattern as
+    // extract's write-observed count, Extract.writeCounted): a count() +
+    // write would execute the crossJoin+argmin pipeline twice
+    val obs = org.apache.spark.sql.Observation()
+    assigned.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("append").partitionBy(cellCol).parquet(indexPath)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Query the persisted IVF index: rank the (broadcast) persisted centroids

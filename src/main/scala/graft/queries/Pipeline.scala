@@ -576,12 +576,22 @@ object Pipeline {
 
     // sim8: INCREMENTAL index maintenance — ivfAdd assigns a delta (clones
     // of vec_id < 3, re-identified +10M) to nearest-centroid cells and
-    // appends them to a fresh index; the probed search over the mutated
-    // index must equal DuckDB's exact KNN over corpus ∪ delta (nprobe =
-    // all cells ⇒ exact). A mis-assigned cell, a lost append, or stale
-    // directory listing drops the planted rank-1 clones and the hash goes
-    // red. Fresh temp index per call: the add MUTATES its index, so the
-    // shared build-once caches (sim2/sim6) must never see it.
+    // appends them to a fresh TRAINED index; the probed search over the
+    // mutated index must equal DuckDB's exact KNN over corpus ∪ delta
+    // (nprobe = all 8 cells ⇒ exact, regardless of cell assignment). A
+    // mis-assigned cell, a lost append, or stale directory listing drops
+    // the planted rank-1 clones and the hash goes red. On top of the exact
+    // half, the gate proves the incremental path UNDER REAL PRUNING (the
+    // sim6 probe-floor pattern): at nprobe=3 of 8,
+    //   clone_probed_top1 — every query whose clone's assigned cell WAS
+    //     probed returns that clone (cosine 1.0, exact rerank) at rank 1;
+    //   probe_effective — >= 2/3 clone cells probed, guarding the above
+    //     against vacuous truth. The clone is assigned by L2 argmin while
+    //     the probe ranks by cosine, so the floor is MEASURED, not
+    //     assumed: 3/3 at nprobe=2..4 on all of sf0.001/0.01/0.1
+    //     (tools.Sim8Probe); >= 2 at nprobe=3 leaves one flip of slack.
+    // Fresh temp index per call: the add MUTATES its index, so the shared
+    // build-once caches (sim2/sim6) must never see it.
     QueryDef(
       "sim8_ivf_add",
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -597,20 +607,43 @@ object Pipeline {
         |r AS (SELECT query_id, neighbor_id, cosine,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
         |      FROM p)
-        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        |SELECT query_id, neighbor_id, cosine, rank,
+        |  true AS clone_probed_top1, true AS probe_effective
+        |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
       val path = java.nio.file.Files.createTempDirectory("graft_ivfadd")
         .resolve("idx").toString
-      Similarity.ivfBuild(
-        Tables.load(s, dir, "embeddings").select("vec_id", "embedding", "label"),
-        "embedding", "label", path)
+      Similarity.ivfBuildTrained(e, "vec_id", "embedding", k = 8, iters = 2, path)
       val delta = e.filter(col("vec_id") < 3)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
-      Similarity.ivfAdd(s, path, delta, "vec_id", "embedding", "label")
-      Similarity.ivfTopK(s, path, e.filter(col("vec_id") < 3),
-          "vec_id", "embedding", "label", k = 5, nprobe = 10)
+      Similarity.ivfAdd(s, path, delta, "vec_id", "embedding", "cell")
+      val queries = e.filter(col("vec_id") < 3)
+      // pruned-probe floor: which queries probe their clone's cell at
+      // nprobe=3, and is the clone rank-1 whenever probed
+      val cent = Similarity.readCentroids(s, path)
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qn", Similarity.norm(col("qv")))
+      val cloneProbed = s.read.parquet(path)
+        .filter(col("vec_id") >= 10000000L)
+        .select((col("vec_id") - 10000000L).as("query_id"), col("cell"))
+        .join(graft.pipeline.Pq.probedCells(cent, q, nprobe = 3),
+          Seq("query_id", "cell"))
+        .select(col("query_id"), lit(1).as("cp"))
+      val floor = Similarity.ivfTopK(s, path, queries,
+          "vec_id", "embedding", "cell", k = 5, nprobe = 3)
+        .filter(col("rank") === 1)
+        .join(cloneProbed, Seq("query_id"), "left")
+        .agg(
+          min(when(col("cp").isNull ||
+            col("neighbor_id") === col("query_id") + 10000000L, 1).otherwise(0)).as("pt"),
+          sum(coalesce(col("cp"), lit(0))).as("np"))
+        .select((col("pt") === 1).as("clone_probed_top1"),
+          (col("np") >= 2L).as("probe_effective"))
+      Similarity.ivfTopK(s, path, queries,
+          "vec_id", "embedding", "cell", k = 5, nprobe = 8)
         .withColumn("rank", col("rank").cast("long"))
+        .crossJoin(floor)
         .orderBy("query_id", "rank")
     },
 
@@ -1085,6 +1118,54 @@ object Pipeline {
       kept.agg(count(lit(1)).as("n_kept"))
         .crossJoin(broadcast(totals))
         .select(col("n_kept"), (col("n_total") - col("n_kept")).as("n_dropped"))
+    },
+
+    // cur2: END-TO-END DECONTAMINATION (Curation.curateDecontaminated) —
+    // t14 and d9 each produce a removal list; this is their composition,
+    // the operator a real pipeline actually runs: anti-join the corpus
+    // against the UNION of the exact 5-gram containment list and the fuzzy
+    // MinHash-LSH near-dup list (threshold 0.8), emit the surviving
+    // per-source census. Eval set = the doc_id % 50 = 49 slice (the tier's
+    // planted near-dups, so BOTH screens fire: verbatim-span grams AND
+    // whole-doc Jaccard). The oracle independently replays both removal
+    // lists (5-gram containment; exact cross-corpus Jaccard) and the
+    // surviving census — a lost hit on either screen changes n_kept and
+    // the hash goes red.
+    QueryDef(
+      "cur2_decontaminated",
+      s"""WITH ${shingleCte(3)},
+         |g AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(generate_series(1, greatest(len(w)-4, 0)),
+         |               i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS gram
+         |      FROM tok),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 49),
+         |exact_hits AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram)
+         |               WHERE doc_id % 50 <> 49),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.s = b.s
+         |          WHERE a.doc_id % 50 <> 49 AND b.doc_id % 50 = 49
+         |          GROUP BY 1, 2),
+         |fuzzy_hits AS (SELECT DISTINCT id_a AS doc_id FROM inter
+         |               JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id
+         |               WHERE c / (na.n + nb.n - c) >= 0.8),
+         |kept AS (SELECT source, text FROM documents
+         |         WHERE doc_id % 50 <> 49
+         |           AND doc_id NOT IN (SELECT doc_id FROM exact_hits)
+         |           AND doc_id NOT IN (SELECT doc_id FROM fuzzy_hits))
+         |SELECT source, count(*) AS n_kept,
+         |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS kept_tokens
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.pipeline.Curation.curateDecontaminated(
+          docs.filter(col("doc_id") % 50 =!= 49),
+          docs.filter(col("doc_id") % 50 === 49),
+          "doc_id", "text", n = 5, threshold = 0.8)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(graft.functions.Portable.tokenCount(col("text")).cast("long"))
+            .as("kept_tokens"))
+        .orderBy("source")
     },
 
     // --------------------------------------------------------- multimodal

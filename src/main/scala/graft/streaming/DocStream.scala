@@ -31,27 +31,51 @@ object DocStream {
       .option("pathGlobFilter", glob)
       .parquet(sfDir)
 
+  /** Hashed-relation footprint per broadcast fingerprint row: the 8-byte
+    * key rides in an UnsafeRow inside a LongHashedRelation whose map +
+    * page overhead lands the per-row cost in the tens of bytes; 48 is the
+    * conservative ceiling the budget math uses. */
+  val FpHashedBytes = 48L
+
+  /** Broadcast budget for the corpus fingerprint set: an eighth of the
+    * driver heap, capped at 2 GB. Spark's hard build-side limit is 8 GB;
+    * the 4× margin keeps the hashed relation PLUS its build-time transient
+    * (collected rows before the relation is built) inside sane driver
+    * memory. Same measured-constant policy shape as
+    * [[graft.core.Engine.stateStoreProvider]]. */
+  def fpBroadcastBudget(maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
+    math.min(2L << 30, maxHeapBytes / 8)
+
   /** Streaming ingest-dedup: drop incoming documents whose content
     * fingerprint (60-bit hash of the normalized text — the same
     * [[TextOps.fingerprint]] the batch dedup operators key on) already
     * exists in the static curated corpus.
     *
     * Deliberately STATELESS: the corpus side is a static fingerprint set
-    * joined per micro-batch (broadcast — a fingerprint is 8 bytes, so even
-    * a billion-doc corpus is index-sized, and past the broadcast budget
-    * the same anti-join degrades to a shuffled one), so there is no
-    * streaming state to bound and no watermark to reason about. In-stream
-    * re-deliveries WITHIN the feed are not this operator's contract — a
-    * stateful `dropDuplicates` over an unbounded doc feed would grow
-    * state forever (documents carry no event time to watermark on); feeds
-    * needing it run the batch dedup operators on the admitted output
-    * downstream. */
-  def ingestDedup(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    * joined per micro-batch, so there is no streaming state to bound and
+    * no watermark to reason about. In-stream re-deliveries WITHIN the feed
+    * are not this operator's contract — a stateful `dropDuplicates` over
+    * an unbounded doc feed would grow state forever (documents carry no
+    * event time to watermark on); feeds needing it run the batch dedup
+    * operators on the admitted output downstream.
+    *
+    * JOIN STRATEGY is decided by ONE static count job at query-build time,
+    * amortized over the stream's lifetime: under [[fpBroadcastBudget]] the
+    * fingerprint set gets an explicit broadcast hint (Catalyst's own stats
+    * see the corpus TEXT bytes and would refuse); over it the hint is
+    * OMITTED and the anti-join plans shuffled. An unconditional hint here
+    * would not "degrade" past the budget — Spark attempts a hinted
+    * broadcast regardless of size and fails hard at the 8 GB build-side
+    * limit, exactly where the billion-doc corpus contract lives
+    * (StreamingSpec pins both plan shapes). */
+  def ingestDedup(docs: DataFrame, corpus: DataFrame,
+      broadcastBudgetBytes: Long = fpBroadcastBudget()): DataFrame = {
     val corpusFps = corpus
       .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val fits = corpusFps.count() * FpHashedBytes <= broadcastBudgetBytes
     docs
       .withColumn("fp", TextOps.fingerprint(col("text")))
-      .join(broadcast(corpusFps), Seq("fp"), "left_anti")
+      .join(if (fits) broadcast(corpusFps) else corpusFps, Seq("fp"), "left_anti")
       .drop("fp")
   }
 }

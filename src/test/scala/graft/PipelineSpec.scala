@@ -645,10 +645,21 @@ class PipelineSpec extends SparkTestBase {
     val centAfter = Similarity.readCentroids(spark, path)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(centAfter == centBefore)
-    // a fresh add of a batch keeps counting
+    // a fresh add of a batch keeps counting — and runs the assignment
+    // pipeline ONCE: the appended count is write-observed (Observation API,
+    // same pattern as extract's write-observed count), not a count() that
+    // re-executes the crossJoin+argmin before the write does it again. The
+    // double-execution form ran 4 jobs here (broadcast+count, then
+    // broadcast+write); the single-pass form runs the broadcast build and
+    // the observed write only.
     val delta2 = corpus.limit(5).select(col("vec_id") + 1000000L, col("embedding"))
       .toDF("vec_id", "embedding")
-    assert(Similarity.ivfAdd(spark, path, delta2, "vec_id", "embedding", "cell") == 5L)
+    spark.sparkContext.setJobGroup("ivfadd-jobcount", "ivfAdd single-pass check")
+    val nJobs = try {
+      assert(Similarity.ivfAdd(spark, path, delta2, "vec_id", "embedding", "cell") == 5L)
+      spark.sparkContext.statusTracker.getJobIdsForGroup("ivfadd-jobcount").length
+    } finally spark.sparkContext.clearJobGroup()
+    assert(nJobs <= 3, s"ivfAdd ran $nJobs jobs — assignment executed twice?")
   }
 
   test("decontamination flags exactly the planted n-gram overlap") {

@@ -206,4 +206,34 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == exp && got.nonEmpty)
   }
+
+  test("ingest-dedup broadcast hint is budget-gated, not unconditional") {
+    import graft.streaming.DocStream
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feed = docs.filter(col("doc_id") % 3 =!= 0)
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    // within budget (smoke-tier corpus, default budget): hinted broadcast
+    val hinted = DocStream.ingestDedup(feed, corpus)
+      .queryExecution.executedPlan.toString
+    assert(hinted.contains("BroadcastHashJoin") && hinted.contains("LeftAnti"))
+    // over budget (budget forced to 0 — the stand-in for a corpus whose
+    // fingerprint set exceeds the broadcast build-side limit): the hint
+    // must be OMITTED so the anti-join plans shuffled instead of dying at
+    // Spark's 8 GB broadcast ceiling mid-stream. Auto-broadcast is disabled
+    // for this half only — at the smoke tier Catalyst's own stats are tiny
+    // and would re-broadcast, where a genuinely over-budget corpus's stats
+    // are over the threshold too; the property under test is that NO HINT
+    // forces a broadcast once the budget says no.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val shuffled = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      DocStream.ingestDedup(feed, corpus, broadcastBudgetBytes = 0L)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(!shuffled.contains("BroadcastHashJoin"))
+    assert(shuffled.contains("SortMergeJoin") || shuffled.contains("ShuffledHashJoin"))
+    // and the two strategies admit the same set (strategy, not semantics)
+    assert(DocStream.ingestDedup(feed, corpus, 0L).count() ==
+      DocStream.ingestDedup(feed, corpus).count())
+  }
 }
