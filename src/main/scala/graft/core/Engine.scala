@@ -92,6 +92,18 @@ object Engine {
     }
   }
 
+  /** Budget for an EXPLICIT broadcast() hint on an index-sized build side:
+    * an eighth of the driver heap, capped at 2 GB. Spark's hard build-side
+    * limit is 8 GB; the 4× margin keeps the hashed relation plus its
+    * build-time transient (collected rows before the relation exists)
+    * inside sane driver memory. An explicit hint is attempted REGARDLESS
+    * of size and fails hard at the limit — so every hint the engine plants
+    * on a contractually-small-but-unbounded side (corpus fingerprints,
+    * eval bucket tables) is gated on this budget and omitted over it,
+    * letting the join plan shuffled instead of dying mid-query. */
+  def broadcastBudget(maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
+    math.min(2L << 30, maxHeapBytes / 8)
+
   /** Deserialized staged-intermediate bytes per tier parquet byte. The
     * evictable objects are the STAGED frames (shingle tables, LSH bucket
     * tables, SRP signatures), which are multiples of the source tier:

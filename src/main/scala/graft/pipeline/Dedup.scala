@@ -106,6 +106,11 @@ object Dedup {
       TextOps.shingleTable(docs, idCol, textCol).repartition(col("id")),
       numPerm, rowsPerBand)
 
+  /** Hashed-relation footprint per broadcast bucket row (id long + band
+    * int + signature string, UnsafeRow + hash-map overhead included) —
+    * conservative ceiling for the explicit-hint budget math. */
+  private val BucketHashedBytes = 128L
+
   private def bucketsOfShingles(sh: DataFrame, numPerm: Int, rowsPerBand: Int): DataFrame = {
     val wide = minhashWide(sh, numPerm)
     val bands = (0 until numPerm / rowsPerBand).map { b =>
@@ -182,10 +187,15 @@ object Dedup {
     *
     * Scale shape: both sides build banded signatures independently (the
     * same wide-aggregate, no row blow-up); the candidate join is a band
-    * equi-join where the REF side is eval-set-sized — its checkpointed
-    * bucket table carries accurate stats, so Catalyst broadcasts it and the
-    * corpus side never shuffles for candidacy. Verification is linear in
-    * candidate pairs, never corpus². */
+    * equi-join where the REF side is eval-set-sized BY CONTRACT, so the
+    * corpus side never shuffles for candidacy. The hint is budget-gated
+    * rather than unconditional or stats-reliant: under
+    * [[graft.core.Engine.broadcastBudget]] (counted off the checkpointed
+    * bucket table — one cheap job) the ref buckets get an explicit
+    * broadcast; over it the hint is omitted and the band join plans
+    * shuffled — an oversized ref degrades instead of dying at Spark's
+    * 8 GB broadcast ceiling. Verification is linear in candidate pairs,
+    * never corpus². */
   def minhashLshCrossPairs(corpus: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8, numPerm: Int = 64,
       rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
@@ -194,8 +204,10 @@ object Dedup {
     val shB = TextOps.shingleTable(ref, idCol, textCol, shingleN)
       .repartition(col("id")).stage()
     val bB = bucketsOfShingles(shB, numPerm, rowsPerBand).stage()
+    val fits = bB.count() * BucketHashedBytes <=
+      graft.core.Engine.broadcastBudget()
     val cand = bucketsOfShingles(shA, numPerm, rowsPerBand).as("x")
-      .join(bB.as("y"),
+      .join((if (fits) broadcast(bB) else bB).as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()

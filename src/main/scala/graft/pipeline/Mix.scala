@@ -98,12 +98,20 @@ object Mix {
       idCol: String,
       textCol: String,
       budget: Int): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("id"))
+    // id alone is not a total order if a source carries duplicate ids —
+    // the cumulative sum (and so pack assignment) would then depend on
+    // shuffle arrival order. The text-hash tiebreaker makes the order
+    // total for any distinct rows; rows equal in (id, text) have equal
+    // token counts, so their relative order cannot change any cumulative
+    // value. Deterministic replay (the DuckDB oracle re-derives the same
+    // packing) needs no unique-id precondition this way.
+    val w = Window.partitionBy(col("source")).orderBy(col("id"), col("tiebreak"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(
         col(sourceCol).as("source"),
         col(idCol).as("id"),
+        Portable.hash32(col(textCol)).as("tiebreak"),
         wsTokens(col(textCol)).as("toks"))
       .withColumn("cum", sum("toks").over(w))
       .withColumn("pack_id",

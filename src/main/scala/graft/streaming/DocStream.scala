@@ -37,14 +37,10 @@ object DocStream {
     * conservative ceiling the budget math uses. */
   val FpHashedBytes = 48L
 
-  /** Broadcast budget for the corpus fingerprint set: an eighth of the
-    * driver heap, capped at 2 GB. Spark's hard build-side limit is 8 GB;
-    * the 4× margin keeps the hashed relation PLUS its build-time transient
-    * (collected rows before the relation is built) inside sane driver
-    * memory. Same measured-constant policy shape as
-    * [[graft.core.Engine.stateStoreProvider]]. */
+  /** Broadcast budget for the corpus fingerprint set — the engine-wide
+    * explicit-hint budget ([[graft.core.Engine.broadcastBudget]]). */
   def fpBroadcastBudget(maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
-    math.min(2L << 30, maxHeapBytes / 8)
+    graft.core.Engine.broadcastBudget(maxHeapBytes)
 
   /** Streaming ingest-dedup: drop incoming documents whose content
     * fingerprint (60-bit hash of the normalized text — the same
