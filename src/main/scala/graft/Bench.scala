@@ -96,7 +96,18 @@ object Bench {
       // shuffle data accumulate until the disk fills — measured: the first
       // sf100 attempt died ENOSPC mid-warmup with ~50 GB of orphaned
       // shuffle dirs. Long-lived real deployments run exactly this knob.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // 1min after the THIRD sf100 attempt: the GC can only reclaim DEAD
+      // shuffle, and at a 5 GB/min production rate a 2min dwell stacks one
+      // rep's garbage under the next rep's live writes.
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // tier-keyed codec + compressed checkpoints, same policy (and
+      // rationale) as Engine.session / Engine.ioCodec: attempt 3 died
+      // ENOSPC under q21's ~3x-lineitem live lz4 shuffle+spill plus 8 GB
+      // of uncompressed durable-Stage checkpoint blocks on the ~94 GB
+      // volume; zstd above the tier threshold, lz4 below it (where its
+      // per-stream constants are a measured 3x wall regression).
+      .config("spark.io.compression.codec", graft.core.Engine.ioCodec(sfDir))
+      .config("spark.checkpoint.compress", "true")
       // stateful streaming entries run on the POLICY state store
       // (Engine.stateStoreProvider): in-memory while projected state fits
       // the heap, RocksDB above that — measured constants in SCALE.md

@@ -92,6 +92,23 @@ object Engine {
     }
   }
 
+  /** IO-codec POLICY (shuffle/spill/broadcast/checkpoint blocks): lz4
+    * under [[ZstdTierBytes]], zstd above it. Measured A/B (this box,
+    * sf0.1, min of 3 reps): engine-wide zstd is a ~3x WALL regression at
+    * small shuffle sizes (q3 0.86 s -> 2.87 s, d2 1.91 s -> 6.92 s, st5
+    * 63k -> 29k events/s) — per-stream codec constants dominate when
+    * blocks are KBs. At a lineitem-scale tier the constraint inverts:
+    * the sf100 run's q21 double self-join carries ~3x the 15.5 GB fact
+    * table as LIVE lz4 shuffle+sort-spill and ENOSPC'd a ~50 GB scratch
+    * budget (attempt 3), while zstd's ~2-3x denser blocks cost only
+    * per-byte CPU that 32 cores amortize into seconds. Production fleets
+    * run zstd shuffle at exactly this scale for the same reason.
+    * Env-overridable for A/B probes (`SPARK_GRAFT_CODEC=lz4|zstd`). */
+  val ZstdTierBytes: Long = 8L << 30
+  def ioCodec(dataDir: String): String =
+    sys.env.get("SPARK_GRAFT_CODEC").getOrElse(
+      if (dataBytes(dataDir) > ZstdTierBytes) "zstd" else "lz4")
+
   /** Budget for an EXPLICIT broadcast() hint on an index-sized build side:
     * an eighth of the driver heap, capped at 2 GB. Spark's hard build-side
     * limit is 8 GB; the 4× margin keeps the hashed relation plus its
@@ -166,8 +183,21 @@ object Engine {
       // release finished queries' shuffle files promptly: big heaps GC so
       // rarely that the ContextCleaner otherwise never fires and dead
       // shuffle data accumulates until the disk fills (measured at the
-      // sf100 bench tier — see Bench.scala)
-      .config("spark.cleaner.periodicGC.interval", "5min")
+      // sf100 bench tier — see Bench.scala). 1min, not 5min: dead-shuffle
+      // DWELL TIME is what stacks rep N's garbage under rep N+1's live
+      // writes — the third sf100 attempt ENOSPC'd with most of the dead
+      // bytes still inside the 5min window.
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // tier-keyed codec policy — see [[ioCodec]]: lz4 at small tiers
+      // (zstd's per-stream constants are a measured 3x wall regression
+      // there), zstd once shuffle-disk is the binding constraint
+      .config("spark.io.compression.codec",
+        dataDir.map(ioCodec).getOrElse(
+          sys.env.get("SPARK_GRAFT_CODEC").getOrElse("lz4")))
+      // checkpoint blocks are UNCOMPRESSED by default; the durable-Stage
+      // policy (above threshold) writes corpus-sized frames there, so an
+      // sf100 run carried 8+ GB of raw checkpoint bytes for ~2 GB of data
+      .config("spark.checkpoint.compress", "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         dataDir.map(stateStoreProvider(_)).getOrElse(
           sys.env.get("SPARK_GRAFT_STATESTORE") match {
