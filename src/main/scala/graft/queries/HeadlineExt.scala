@@ -272,6 +272,22 @@ object HeadlineExt {
     // q21-shaped: sole-blame suppliers in multi-supplier orders — q21's
     // EXISTS / NOT EXISTS correlated pair (no receipt/commit dates →
     // returnflag='R' marks the fault).
+    //
+    // PLAN: single-pass per-order census instead of the literal
+    // EXISTS/NOT-EXISTS form. The naive plan (l1 ⋈ l2 semi ⋈ l3 anti)
+    // shuffles the fact table THREE times and sort-merge-joins two
+    // fact-sized sides — at the sf100 tier that is ~3× the 15.5 GB
+    // lineitem as live shuffle + SMJ sort spill, which ENOSPC'd a ~50 GB
+    // scratch volume twice (round 14, attempts 3–4). The census form
+    // computes, per (orderkey, suppkey) then per orderkey, exactly the
+    // three facts the correlated pair tests — #suppliers in the order,
+    // #suppliers with a fault row, the fault supplier's row count — as
+    // TWO narrow map-side-combinable aggregations (projection: 3 cols),
+    // then joins only the surviving sole-blame orders (a few % of the
+    // fact) against orders-F and supplier. Same rows, same counts:
+    //   EXISTS l2 (other supplier)            ⇔ n_supp ≥ 2
+    //   NOT EXISTS l3 (other supplier with R) ⇔ r_supp = 1  (l1 is R)
+    //   count(*) over qualifying l1 rows      ⇔ Σ r_rows of that supplier
     QueryDef(
       "q21_sole_blame",
       """SELECT s_name, count(*) AS numwait FROM supplier
@@ -284,20 +300,23 @@ object HeadlineExt {
         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val l1 = li.select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"),
-        col("l_returnflag").as("rf1"))
-        .filter(col("rf1") === "R")
-      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
-      val l3 = li.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
-      l1
-        .join(Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F"),
-          col("o_orderkey") === col("k1"))
-        .join(l2, col("k2") === col("k1") && col("sk2") =!= col("sk1"), "left_semi")
-        .join(l3, col("k3") === col("k1") && col("sk3") =!= col("sk1"), "left_anti")
-        .join(Tables.load(s, dir, "supplier"), col("s_suppkey") === col("sk1"))
-        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      val perSupp = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_r"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(col("is_r")).as("r_rows"))
+      val soleBlame = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("r_rows") > 0, 1).otherwise(0)).as("r_supp"),
+          sum(col("r_rows")).as("r_rows"),
+          max(when(col("r_rows") > 0, col("l_suppkey"))).as("r_suppkey"))
+        .filter(col("r_supp") === 1 && col("n_supp") >= 2)
+      soleBlame
+        .join(Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(Tables.load(s, dir, "supplier"), col("s_suppkey") === col("r_suppkey"))
+        .groupBy("s_name").agg(sum(col("r_rows")).as("numwait"))
         .orderBy(desc("numwait"), asc("s_name"))
         .limit(20)
     },
