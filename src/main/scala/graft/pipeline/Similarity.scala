@@ -345,6 +345,27 @@ object Similarity {
         greatest(col("id_x"), col("id_y")).as("id_b"), col("cs"))
   }
 
+  /** Hashed-relation budget estimate for an (id, 64-dim double vector,
+    * norm) verify-side row: 8 B id + 8 B norm + UnsafeRow array header +
+    * 64×8 B components ≈ 560 B, rounded to 640 B for the relation's
+    * bucket/pointer overhead. */
+  val VecRowHashedBytes = 640L
+
+  /** Budget-gated broadcast for a verify-side vector table (same policy
+    * shape as `Dedup.minhashLshCrossPairs` / `DocStream.ingestDedup`):
+    * under [[graft.core.Engine.broadcastBudget]] the side gets an explicit
+    * broadcast so candidate pairs verify MAP-SIDE and never shuffle with
+    * 512 B vectors attached — measured at the sf100 tier, the shuffled
+    * second verify join carried ~35 GB of pair×vector intermediate for
+    * 64M budget-bounded candidates and ENOSPC'd a 57 GB scratch volume,
+    * while the candidate table itself is 16 B/row. Over budget (≈3M
+    * vectors at the 2 GB cap) the hint is omitted and the joins plan
+    * shuffled: degraded, not dead at Spark's 8 GB broadcast ceiling. */
+  def gatedVecBroadcast(side: DataFrame, rows: Long): DataFrame =
+    if (rows * VecRowHashedBytes <= graft.core.Engine.broadcastBudget())
+      broadcast(side)
+    else side
+
   /** Hyperplane `p` component `j`, driver-side: the exact arithmetic twin of
     * the `Portable.hash32("p:j")`-seeded expression the DuckDB oracles
     * replay — md5 hex prefix → [0, 2³²) → scaled to [-1, 1). Planes are

@@ -252,9 +252,17 @@ object Pipeline {
       Similarity.srpBandedPairs(corpus, "vec_id", "v",
         bitsPerBand = Similarity.rForCorpus(n, threshold = 0.98, numBands = 32),
         numBands = 32)
-        .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+        // verify joins ride a budget-gated broadcast of the vector table
+        // (Similarity.gatedVecBroadcast): the candidate table is 16 B/row
+        // but a SHUFFLED verify join re-shuffles every candidate with a
+        // 512 B vector attached — at the sf100 tier that intermediate was
+        // ~35 GB and ENOSPC'd the scratch volume while the broadcast side
+        // is ~1.2 GB of vectors
+        .join(Similarity.gatedVecBroadcast(
+            e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), n),
           Seq("id_a"))
-        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        .join(Similarity.gatedVecBroadcast(
+            e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), n),
           Seq("id_b"))
         .withColumn("cs", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cs") >= 0.98)

@@ -613,6 +613,23 @@ class PipelineSpec extends SparkTestBase {
     assert(rs == rs.sorted, s"r not monotone: $rs")
   }
 
+  test("gatedVecBroadcast hints under the budget and degrades over it") {
+    import graft.pipeline.Similarity
+    val df = spark.range(10).toDF("id")
+    // under budget: an explicit broadcast hint lands in the logical plan
+    val hinted = Similarity.gatedVecBroadcast(df, rows = 1000L)
+    assert(hinted.queryExecution.logical.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.nonEmpty, "under-budget side must carry a broadcast hint")
+    // over budget (rows x 640 B > the 2 GB cap): the SAME frame comes back
+    // unhinted, so the join degrades to shuffled instead of dying at
+    // Spark's 8 GB broadcast ceiling
+    val big = Similarity.gatedVecBroadcast(df, rows = 4L * 1000 * 1000)
+    assert(big.queryExecution.logical eq df.queryExecution.logical,
+      "over-budget side must pass through unhinted")
+  }
+
   test("ivfAdd appends into the live index: additions found, centroids untouched") {
     import java.nio.file.Files
     import graft.pipeline.Similarity
