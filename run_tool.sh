@@ -12,5 +12,13 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+# ExplicitGCInvokesConcurrent: the engine's periodic shuffle-GC policy
+# (spark.cleaner.periodicGC.interval) calls System.gc(); on G1 that is a
+# stop-the-world FULL collection, and at a 64g bench heap one such pause
+# measured 149s - past spark.network.timeout, so local-mode removed its
+# own executor and the session collapsed (sf100 attempt 4). The flag turns
+# explicit GC into a concurrent cycle, which still processes the weak
+# references the ContextCleaner needs to release dead shuffle files.
+exec java $OPENS -XX:+ExplicitGCInvokesConcurrent \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-8g} -cp "$CP" "$@"

@@ -100,6 +100,16 @@ object Bench {
       // shuffle, and at a 5 GB/min production rate a 2min dwell stacks one
       // rep's garbage under the next rep's live writes.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // single-JVM local mode: an executor heartbeat is a self-ping, and
+      // "losing" the only executor to a missed one is fatal chaos, not
+      // fault tolerance. The sf100 fourth attempt died exactly so: a 149s
+      // stop-the-world full GC (the periodic System.gc() at a 64g heap,
+      // see run_tool.sh's ExplicitGCInvokesConcurrent) crossed the 120s
+      // default and HeartbeatReceiver removed the driver-executor. A
+      // cluster deployment keeps the defaults - there a dead-silent
+      // executor really is lost.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // tier-keyed codec + compressed checkpoints, same policy (and
       // rationale) as Engine.session / Engine.ioCodec: attempt 3 died
       // ENOSPC under q21's ~3x-lineitem live lz4 shuffle+spill plus 8 GB

@@ -188,6 +188,13 @@ object Engine {
       // writes — the third sf100 attempt ENOSPC'd with most of the dead
       // bytes still inside the 5min window.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // single-JVM local mode: losing the only executor to a missed
+      // heartbeat is fatal, and the periodic System.gc() above can pause
+      // a large heap past the 120s default (measured 149s at 64g — see
+      // Bench.scala / run_tool.sh's ExplicitGCInvokesConcurrent). Cluster
+      // deployments keep the defaults; local mode self-pings.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // tier-keyed codec policy — see [[ioCodec]]: lz4 at small tiers
       // (zstd's per-stream constants are a measured 3x wall regression
       // there), zstd once shuffle-disk is the binding constraint
