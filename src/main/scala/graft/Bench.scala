@@ -64,8 +64,37 @@ object Bench {
       .replaceAll("""multicommutativeop\([^\n]*?(?=, PushedFilters: |, ReadSchema: |\n|$)""",
         "multicommutativeop(MASKED)")
 
+  /** Other live graft JVMs on this box (main-class names), self excluded —
+    * a concurrent JVM contention-poisons every timing in this run (round
+    * 14: the sf0.1 round bench overlapped an sf100 streaming chunk and all
+    * 22 entries read 1.2–1.8× slow with zero plan changes). The bench
+    * STAMPS rather than refuses — a driver-scheduled round bench must
+    * produce an artifact — so a poisoned recording says so in-band
+    * (`"concurrent"` field) instead of masquerading as a regression.
+    * /proc scan, zero dependencies; returns empty on non-Linux. */
+  private def concurrentGraftJvms(): Seq[String] = try {
+    val self = ProcessHandle.current().pid()
+    val dir = new java.io.File("/proc")
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().toSeq
+      .filter(f => f.getName.forall(_.isDigit) && f.getName.toLong != self)
+      .flatMap { f =>
+        try {
+          val cmd = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f.getPath, "cmdline")),
+            java.nio.charset.StandardCharsets.UTF_8).split('\u0000')
+          if (cmd.headOption.exists(_.contains("java")))
+            cmd.find(a => a.startsWith("graft.") && !a.contains("=")).toSeq
+          else Seq.empty
+        } catch { case _: Throwable => Seq.empty }
+      }
+  } catch { case _: Throwable => Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // sampled at start AND end of the run: a poisoner present at either
+    // edge (or both) is named in the artifact's "concurrent" field
+    val concurrentAtStart = concurrentGraftJvms()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     // Shuffle width is POLICY now, not a knob: derived from the tier's
@@ -344,7 +373,9 @@ object Bench {
       .mkString("[", ",", "]")
     val streamState = streamDefs.map(_._1).flatMap(streamStateInfo.get)
       .mkString("{", ",", "}")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"stream_total_sec":${fmt(streamTotal)},"stream_events_per_sec":$streamEps,"stream_state":$streamState,"failed":$failed,"plan_changed":$planChanged,"reps":$reps,"shuffle":$shuffle,"sf":"$sfDir""""
+    val concurrent = (concurrentAtStart ++ concurrentGraftJvms()).distinct
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"stream_total_sec":${fmt(streamTotal)},"stream_events_per_sec":$streamEps,"stream_state":$streamState,"failed":$failed,"plan_changed":$planChanged,"concurrent":$concurrent,"reps":$reps,"shuffle":$shuffle,"sf":"$sfDir""""
     val full = s"""{$head,"rep_times":$repTimes,"plan_sha":$planSha}"""
     // capture-proof artifact first, THEN the stdout line the driver tails.
     // The stdout line is the COMPACT form — totals, per-query min, noisy /

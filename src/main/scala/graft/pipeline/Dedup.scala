@@ -48,6 +48,32 @@ object Dedup {
     fp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
 
+  /** Hashed shingle table `(id, h)` with `h = hash60(shingle)` — the STAGED
+    * form every set-similarity operator materializes and verifies over.
+    *
+    * Staging the 8-byte hash instead of the shingle STRING is a scale
+    * necessity, not an optimization nicety: a word-3-gram shingle is
+    * ~20–40 bytes of text, so a corpus-sized staged table of raw shingles
+    * is 3–5× the corpus itself — at the sf100 tier (~5M docs) that staged
+    * table plus the `collect_list` verify sets it feeds is what filled a
+    * ~57 GB scratch volume (ENOSPC, four recording attempts). Every
+    * downstream consumer only ever needs equality/identity of shingles —
+    * minhash signatures are already functions of `hash60(s)`, document
+    * frequency, prefix ordering, and Jaccard verification all survive any
+    * injective renaming — so the hash carries the full semantics at ~1/4
+    * the staged bytes and a fraction of the verify-join width.
+    *
+    * Collision caveat: two distinct shingles colliding in 60 bits
+    * (p ≈ 2⁻⁶⁰ per pair) could in principle merge set elements and nudge a
+    * Jaccard value. That is far below the oracle gates' resolution (the
+    * gates compare exact pair sets on corpora of ≤ ~10⁷ shingles, expected
+    * collisions ≈ 10¹⁴/2⁶⁰ ≈ 10⁻⁴) and below any curation-relevant effect
+    * at 100 TB; documented here once for all callers. */
+  private def hashedShingleTable(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    TextOps.shingleTable(docs, idCol, textCol, shingleN)
+      .select(col("id"), Portable.hash60(col("s")).as("h"))
+
   /** Per-permutation linear-hash constants: fixed-seed draws so signatures
     * are deterministic across runs and engines. pa/pb from [1, prime): a
     * draw equal to the modulus prime would vanish mod p and degenerate that
@@ -90,9 +116,10 @@ object Dedup {
         .as(s"mh$p")
     }
     // callers hand sh already spread by id (see minhashBuckets /
-    // minhashLshPairs), which satisfies the groupBy(id) without an exchange
-    sh.select(col("id"), Portable.hash60(col("s")).as("h"))
-      .select(col("id"), (col("h") % (1L << 30)).as("lo"),
+    // minhashLshPairs), which satisfies the groupBy(id) without an exchange;
+    // input is the HASHED shingle table (id, h) — the base hash is computed
+    // once at staging time, never re-derived from strings here
+    sh.select(col("id"), (col("h") % (1L << 30)).as("lo"),
         shiftright(col("h"), 30).as("hi"))
       .groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -103,7 +130,7 @@ object Dedup {
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 64, rowsPerBand: Int = 2): DataFrame =
     bucketsOfShingles(
-      TextOps.shingleTable(docs, idCol, textCol).repartition(col("id")),
+      hashedShingleTable(docs, idCol, textCol, 3).repartition(col("id")),
       numPerm, rowsPerBand)
 
   /** Hashed-relation footprint per broadcast bucket row (id long + band
@@ -128,11 +155,13 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numPerm: Int = 64, rowsPerBand: Int = 2,
       shingleN: Int = 3): DataFrame = {
-    // the shingle table feeds BOTH the signature build and the verify —
-    // materialize it once (tokenize + explode + distinct is the most
-    // expensive projection in the pipeline), spread by id so the
-    // materialized blocks aren't one partition from the single-file read
-    val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+    // the HASHED shingle table feeds BOTH the signature build and the
+    // verify — materialize it once (tokenize + explode + distinct is the
+    // most expensive projection in the pipeline), spread by id so the
+    // materialized blocks aren't one partition from the single-file read.
+    // Hashing BEFORE staging (see hashedShingleTable) is what keeps the
+    // materialized footprint ~8 B/shingle instead of the raw string.
+    val sh = hashedShingleTable(docs, idCol, textCol, shingleN)
       .repartition(col("id")).stage()
     // materialize the bucket table once: the self-join consumes it twice
     // and would otherwise recompute the whole shingle->signature subtree
@@ -157,7 +186,9 @@ object Dedup {
     * candidate PAIR list is (measured: ~13 s of d4's 15 s at sf0.1). The
     * shingle table is still semi-joined to candidate ids first so only
     * candidate docs are collected; callers pass their (checkpointed)
-    * shingle table so it is never computed twice per query. */
+    * HASHED shingle table (id, h) so it is never computed twice per query
+    * and the collected sets are 8-byte longs, not shingle strings (set
+    * identity is hash identity — collision caveat on hashedShingleTable). */
   private def verifyJaccard(sh: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     val candIds = cand.select(col("id_a").as("id"))
@@ -166,7 +197,7 @@ object Dedup {
     val docSets = sh
       .join(candIds, Seq("id"), "left_semi")
       .groupBy("id")
-      .agg(collect_list(col("s")).as("set"), count(lit(1)).as("n"))
+      .agg(collect_list(col("h")).as("set"), count(lit(1)).as("n"))
     cand
       .join(docSets.select(col("id").as("id_a"), col("set").as("sa"), col("n").as("na")),
         Seq("id_a"))
@@ -199,9 +230,9 @@ object Dedup {
   def minhashLshCrossPairs(corpus: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8, numPerm: Int = 64,
       rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
-    val shA = TextOps.shingleTable(corpus, idCol, textCol, shingleN)
+    val shA = hashedShingleTable(corpus, idCol, textCol, shingleN)
       .repartition(col("id")).stage()
-    val shB = TextOps.shingleTable(ref, idCol, textCol, shingleN)
+    val shB = hashedShingleTable(ref, idCol, textCol, shingleN)
       .repartition(col("id")).stage()
     val bB = bucketsOfShingles(shB, numPerm, rowsPerBand).stage()
     val fits = bB.count() * BucketHashedBytes <=
@@ -222,7 +253,7 @@ object Dedup {
     def sets(sh: DataFrame, side: String) = sh
       .join(cand.select(col(side).as("id")).distinct(), Seq("id"), "left_semi")
       .groupBy("id")
-      .agg(collect_list(col("s")).as("set"), count(lit(1)).as("n"))
+      .agg(collect_list(col("h")).as("set"), count(lit(1)).as("n"))
     cand
       .join(sets(shA, "id_a")
         .select(col("id").as("id_a"), col("set").as("sa"), col("n").as("na")),
@@ -272,13 +303,16 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // one shingle table for the prefix build AND the verify (see
+    // one HASHED shingle table for the prefix build AND the verify (see
     // minhashLshPairs); repartition by id up front so the tokenize/explode
-    // work is spread before materialization
-    val sh = TextOps.shingleTable(docs, idCol, textCol, shingleN)
+    // work is spread before materialization. The prefix-filter proof needs
+    // only SOME global total order over shingles shared by all documents —
+    // (df asc, h) is as valid as (df asc, s), and the 8-byte key keeps the
+    // staged prefix table and the df/window shuffles string-free.
+    val sh = hashedShingleTable(docs, idCol, textCol, shingleN)
       .repartition(col("id")).stage()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     // prefix carries each doc's shingle count so the join can apply the
     // LENGTH filter (J >= t forces t·max(na,nb) <= min(na,nb) — Bayardo et
     // al.'s size condition): size-mismatched pairs never become candidates.
@@ -286,12 +320,12 @@ object Dedup {
     // subtree above it (two aggregations + a per-doc window sort) would
     // otherwise run once per side with blind size estimates (same lesson
     // as the minhash bucket table).
-    val prefix = sh.join(docFreq, Seq("s"))
+    val prefix = sh.join(docFreq, Seq("h"))
       .withColumn("rank",
-        row_number().over(Window.partitionBy("id").orderBy("df", "s")))
+        row_number().over(Window.partitionBy("id").orderBy("df", "h")))
       .join(sizes, Seq("id"))
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
-      .select("id", "s", "n", "rank")
+      .select("id", "h", "n", "rank")
       .stage()
     // positional filter (PPJoin, Xiao et al. WWW'08): a match on shingle s
     // at ranks (ra, rb) bounds the overlap by 1 + min(na-ra, nb-rb); a pair
@@ -303,7 +337,7 @@ object Dedup {
     val minOverlap =
       ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n")) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           least(col("a.n"), col("b.n")) >=
             lit(threshold) * greatest(col("a.n"), col("b.n")) &&
           lit(1) + least(col("a.n") - col("a.rank"), col("b.n") - col("b.rank")) >=

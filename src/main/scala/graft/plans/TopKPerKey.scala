@@ -54,6 +54,26 @@ class TopKStrategy extends SparkStrategy {
   }
 }
 
+object TopKPerKeyExec {
+  /** Rows each partial-pass partition accumulates before deciding whether
+    * its input reduces at all (Spark's partial-aggregation skip pattern,
+    * `spark.sql.aggregate.skipPartialAggregate`-style). With n/10 distinct
+    * keys randomly partitioned — the w5 shape — each key appears ≈once per
+    * partition, the partial emits ~every row anyway, and its per-row
+    * UnsafeRow copy + per-key heap allocation is pure overhead (measured:
+    * w5 went 45.8×/decade at sf100, 4.5 s → 206.8 s, on exactly this
+    * regime). Sampling is per-partition and the decision is one-way
+    * (accumulate → pass-through), so a skewed partition that DOES reduce
+    * keeps the partial benefit. */
+  val BypassSampleRows = 4096
+  /** Bypass when the sampled distinct-key count exceeds this fraction of
+    * sampled rows — i.e. the partial would emit most of its input anyway.
+    * Emitting extra rows from a partial is always CORRECT (the final pass
+    * re-selects the global top-k); the threshold only trades shuffle bytes
+    * against per-row partial cost. */
+  val BypassKeyRatio = 0.5
+}
+
 case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
     descending: Boolean, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
@@ -73,6 +93,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
     val ordExpr = ord
     val kk = k
     val desc = descending
+    val isPartial = partial
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -93,7 +114,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
           prefCompare(y._1, x._1) // reversed: max of this ordering = worst
       }
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]]()
-      iter.foreach { row =>
+      def accumulate(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -114,9 +135,30 @@ case class TopKPerKeyExec(keys: Seq[Expression], ord: Expression, k: Int,
           heap.enqueue((retained, row.asInstanceOf[UnsafeRow].copy()))
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { h => h.foreach { case (_, r) => out += r } }
-      out.iterator
+      def flush(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { h => h.foreach { case (_, r) => out += r } }
+        out.iterator
+      }
+      if (isPartial && keyExprs.nonEmpty) {
+        // reduction-aware bypass (see TopKPerKeyExec.BypassSampleRows):
+        // accumulate a sample; if the partition shows almost no per-key
+        // reduction, emit the buffered state and stream the remaining rows
+        // through UNTOUCHED — no copies, no heaps, no hashing. Extra rows
+        // out of a partial are re-filtered by the final pass, so the bypass
+        // can only trade shuffle volume for per-row cost, never results.
+        var seen = 0
+        while (iter.hasNext && seen < TopKPerKeyExec.BypassSampleRows) {
+          accumulate(iter.next()); seen += 1
+        }
+        val noReduction = iter.hasNext &&
+          heaps.size.toDouble > TopKPerKeyExec.BypassKeyRatio * seen
+        if (noReduction) flush() ++ iter
+        else { iter.foreach(accumulate); flush() }
+      } else {
+        iter.foreach(accumulate)
+        flush()
+      }
     }
   }
 

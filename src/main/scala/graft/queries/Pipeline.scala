@@ -249,9 +249,14 @@ object Pipeline {
       // later. n comes from the raw parquet footer (metadata count, no
       // scan) + the 50 planted copies.
       val n = s.read.parquet(s"$dir/embeddings.parquet").count() + 50
+      val r = Similarity.rForCorpus(n, threshold = 0.98, numBands = 32)
+      // scale-attribution breadcrumb (VERDICT r14 #4): the sf100 decade
+      // ratio is only interpretable knowing which r the gate derived —
+      // candidate volume moves 2× per bit. SrpProbe prints the full
+      // candidate census; this line ties a bench log to its r.
+      System.err.println(s"[graft] d8 n=$n rForCorpus=$r bands=32")
       Similarity.srpBandedPairs(corpus, "vec_id", "v",
-        bitsPerBand = Similarity.rForCorpus(n, threshold = 0.98, numBands = 32),
-        numBands = 32)
+        bitsPerBand = r, numBands = 32)
         // verify joins ride a budget-gated broadcast of the vector table
         // (Similarity.gatedVecBroadcast): the candidate table is 16 B/row
         // but a SHUFFLED verify join re-shuffles every candidate with a

@@ -128,6 +128,29 @@ class TopKSpec extends SparkTestBase {
       ("b", Some(1.0), 4L), ("b", None, 6L)), s"asc: ${got(false)}")
   }
 
+  test("no-reduction bypass preserves results on high-cardinality keys") {
+    // > BypassSampleRows rows per partition with ~all-distinct keys: the
+    // partial pass samples, sees no per-key reduction, and streams the
+    // remainder through untouched (TopKPerKeyExec.BypassSampleRows). The
+    // final pass must absorb the extra rows — output identical to the
+    // window plan. Key 0 is a planted HOT key crossing the sample boundary
+    // so the bypass path also carries buffered heap state for a key that
+    // keeps arriving after the switch.
+    val df = spark.range(20000).repartition(2)
+      .select(when(col("id") < 100, lit(0L)).otherwise(col("id")).as("k"),
+        (col("id") % 7).cast("double").as("v"), col("id"))
+    assert(20000 / 2 > graft.plans.TopKPerKeyExec.BypassSampleRows)
+    val viaOp = TopK.perKey(df, Seq("k"), "v", k = 2, tiebreak = Seq(-col("id")))
+    val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "id", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(viaOp) == rows(viaWindow))
+  }
+
   test("k larger than group size returns whole groups") {
     val nation = Tables.load(spark, sfDir, "nation")
       .select(col("n_regionkey"), col("n_nationkey").cast("double").as("v"))
