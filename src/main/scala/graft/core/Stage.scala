@@ -34,10 +34,21 @@ import org.apache.spark.sql.DataFrame
   */
 object Stage {
 
-  def apply(df: DataFrame): DataFrame =
+  /** Test hook: executed-plan strings of every frame staged while
+    * `spark.graft.capturePlans` was true. Lineage truncation deliberately
+    * hides staged subtrees from the final query plan, which also hides
+    * them from PlanSpec's scale-property guards (candidate-pruning
+    * semi-joins, broadcast shapes) — the guards read this capture
+    * instead. Never populated outside tests. */
+  val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def apply(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf.getOption("spark.graft.capturePlans").contains("true"))
+      captured.add(df.queryExecution.executedPlan.toString)
     if (df.sparkSession.conf.getOption("spark.graft.durableStage").contains("true"))
       df.checkpoint()
     else df.localCheckpoint()
+  }
 
   implicit class Staged(private val df: DataFrame) extends AnyVal {
     /** Policy-selected lineage-truncating materialization — use instead of

@@ -138,11 +138,18 @@ object Dedup {
     * conservative ceiling for the explicit-hint budget math. */
   private val BucketHashedBytes = 128L
 
+  /** Band signature as a 64-bit hash of the band's minhash tuple rather
+    * than the ":"-joined decimal STRING (~29 B vs 8 B): the bucket table is
+    * staged once and exchanged on (band, sig) TWICE by the self-join, so
+    * signature width is a first-order term of d2's peak scratch footprint.
+    * A 64-bit collision can only ADD a candidate pair (verify rejects it
+    * exactly); it can never lose one — banding semantics are unchanged
+    * under any injective-up-to-2⁻⁶⁴ renaming. */
   private def bucketsOfShingles(sh: DataFrame, numPerm: Int, rowsPerBand: Int): DataFrame = {
     val wide = minhashWide(sh, numPerm)
     val bands = (0 until numPerm / rowsPerBand).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(":", (0 until rowsPerBand)
+        xxhash64((0 until rowsPerBand)
           .map(s => col(s"mh${b * rowsPerBand + s}")): _*).as("sig"))
     }
     wide.select(col("id"), explode(array(bands: _*)).as("bs"))
@@ -168,11 +175,21 @@ object Dedup {
     // per side (and estimate its size blind, scattering one-off broadcast
     // jobs). One computation, accurate stats, both sides read the blocks.
     val b = bucketsOfShingles(sh, numPerm, rowsPerBand).stage()
+    // the candidate table is consumed THREE times downstream (the id
+    // census plus both verify joins): staged, so (a) the band self-join
+    // subtree runs once, and (b) — the peak-scratch point — the self-join
+    // and distinct exchanges become DEAD the moment the (tiny, two-long-
+    // column) candidate table materializes, instead of staying live
+    // through the whole verify phase. sf100 attempt 5 rep 1 ENOSPC'd with
+    // the band-join shuffle still live under the verify joins' exchanges;
+    // this truncation is what lets the periodic GC reclaim the former
+    // before the latter peaks.
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .stage()
     verifyJaccard(sh, cand, threshold)
   }
 
@@ -194,10 +211,14 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id")))
       .distinct()
+    // consumed by BOTH pair-side joins: staged so the semi-join + set
+    // aggregation run once and their exchanges die before the wide
+    // (set-carrying) pair joins allocate their own shuffle
     val docSets = sh
       .join(candIds, Seq("id"), "left_semi")
       .groupBy("id")
       .agg(collect_list(col("h")).as("set"), count(lit(1)).as("n"))
+      .stage()
     cand
       .join(docSets.select(col("id").as("id_a"), col("set").as("sa"), col("n").as("na")),
         Seq("id_a"))
@@ -242,6 +263,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .stage() // 4 downstream consumers — same truncation as minhashLshPairs
     verifyJaccardCross(shA, shB, cand, threshold)
   }
 
@@ -254,6 +276,7 @@ object Dedup {
       .join(cand.select(col(side).as("id")).distinct(), Seq("id"), "left_semi")
       .groupBy("id")
       .agg(collect_list(col("h")).as("set"), count(lit(1)).as("n"))
+      .stage() // lineage-truncated for the same peak-scratch reason as verifyJaccard
     cand
       .join(sets(shA, "id_a")
         .select(col("id").as("id_a"), col("set").as("sa"), col("n").as("na")),
@@ -344,6 +367,7 @@ object Dedup {
             minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .stage() // 3 downstream consumers — same truncation as minhashLshPairs
     verifyJaccard(sh, cand, threshold)
   }
 

@@ -95,6 +95,46 @@ object Multimodal {
         } finally ais.close()
       } catch { case _: Throwable => None }
 
+    /** Frame byte-ranges of an MJPEG stream — the simplest real video
+      * container: concatenated baseline JPEGs (the over-the-wire form of
+      * motion-JPEG cameras and the payload of MJPEG AVI/HTTP streams).
+      * Boundary scan is exact for well-formed streams: inside entropy-coded
+      * JPEG data a 0xFF byte is always stuffed (FF 00) or a RST marker
+      * (FF D0–D7), so FF D9 occurs ONLY as end-of-image and FF D8 FF only
+      * as start-of-image. Returns ≥2 ranges or Nil — a single JPEG belongs
+      * to the plain image path, not the container path. */
+    def mjpegFrames(p: Array[Byte]): Seq[(Int, Int)] = {
+      if (p.length < 4 || p(0) != 0xff.toByte || p(1) != 0xd8.toByte ||
+          p(2) != 0xff.toByte) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var start = 0
+      var i = 2
+      while (i + 1 < p.length) {
+        if (p(i) == 0xff.toByte && p(i + 1) == 0xd9.toByte) {
+          out += ((start, i + 2))
+          // next frame must begin immediately with SOI (FF D8 FF)
+          if (i + 4 < p.length && p(i + 2) == 0xff.toByte &&
+              p(i + 3) == 0xd8.toByte && p(i + 4) == 0xff.toByte) {
+            start = i + 2
+            i = i + 4
+          } else i = p.length // trailing junk or end: stop
+        } else i += 1
+      }
+      if (out.size >= 2) out.toSeq else Nil
+    }
+
+    /** MJPEG container decode: (width, height of frame 0, frame count,
+      * checksum). None unless the payload really is ≥2 concatenated JPEGs. */
+    def decodeMjpeg(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      val frames = mjpegFrames(p)
+      if (frames.isEmpty) None
+      else {
+        val (s, e) = frames.head
+        decodeImage(java.util.Arrays.copyOfRange(p, s, e))
+          .map { case (w, h, _, _) => (w, h, frames.size, checksum(p)) }
+      }
+    }
+
     private def readImage(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (!sniffImage(p)) None
       else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
@@ -129,7 +169,24 @@ object Multimodal {
       * independently decodable payloads, and compositing policy belongs to
       * the consumer. None for non-image payloads, a missing reader, or an
       * out-of-range index. */
-    def extractFrame(p: Array[Byte], idx: Int): Option[Array[Byte]] =
+    def extractFrame(p: Array[Byte], idx: Int): Option[Array[Byte]] = {
+      // MJPEG container first: slice frame idx's JPEG bytes, decode, and
+      // re-encode PNG — same per-frame contract as the imageio path below
+      val mj = mjpegFrames(p)
+      if (mj.nonEmpty) {
+        if (idx < 0 || idx >= mj.size) None
+        else {
+          val (s, e) = mj(idx)
+          readImage(java.util.Arrays.copyOfRange(p, s, e)).map { img =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+        }
+      } else extractImageioFrame(p, idx)
+    }
+
+    private def extractImageioFrame(p: Array[Byte], idx: Int): Option[Array[Byte]] =
       if (!sniffImage(p)) None
       else try {
         val in = javax.imageio.ImageIO.createImageInputStream(
@@ -173,7 +230,8 @@ object Multimodal {
     * nothing but this object. */
   object Codec {
     def decode(p: Array[Byte]): (Int, Int, Int, Long) =
-      JvmCodec.decodeImage(p).orElse(JvmCodec.decodeAudio(p))
+      JvmCodec.decodeMjpeg(p) // ≥2-frame container beats the single-image read
+        .orElse(JvmCodec.decodeImage(p)).orElse(JvmCodec.decodeAudio(p))
         .getOrElse(FakeCodec.decode(p))
 
     def resample(p: Array[Byte], outW: Int, outH: Int): Array[Byte] =
@@ -316,11 +374,13 @@ object Multimodal {
   /** Frame sampling WITH payloads: every `everyNth` frame of each
     * multi-frame container, through the same per-partition codec boundary
     * as the other stages. REAL frames (PNG-encoded rasters via
-    * [[JvmCodec.extractFrame]]) for the containers the JDK decodes —
-    * animated GIF being the one shipped multi-frame codec; for true video
-    * the row keeps the fan-out shape but carries an empty payload and
-    * `decoded=false` — an explicit marker at the codec seam where a
-    * deployment's video codec plugs in, not a silent fake. */
+    * [[JvmCodec.extractFrame]]) for the containers this library decodes —
+    * animated GIF (the JDK's shipped multi-frame codec) and MJPEG streams
+    * (own boundary parse + the JDK JPEG codec, [[JvmCodec.mjpegFrames]]);
+    * for other video containers the row keeps the fan-out shape but
+    * carries an empty payload and `decoded=false` — an explicit marker at
+    * the codec seam where a deployment's codec plugs in, not a silent
+    * fake. */
   def sampleFramePayloads(media: DataFrame, everyNth: Int = 4): Dataset[SampledFrame] = {
     require(everyNth > 0)
     val spark = media.sparkSession

@@ -145,4 +145,50 @@ class MultimodalCodecSpec extends SparkTestBase {
     assert(JvmCodec.extractFrame(gif, 99).isEmpty)
     assert(JvmCodec.extractFrame("blob".getBytes("UTF-8"), 0).isEmpty)
   }
+
+  /** A w×h solid-color baseline JPEG. */
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG stream: real container parse, real decoded frames") {
+    import spark.implicits._
+    // motion-JPEG over-the-wire form: concatenated baseline JPEGs
+    val frames = Seq(jpeg(24, 18, 0x0000ff), jpeg(24, 18, 0x00ff00), jpeg(24, 18, 0xff0000))
+    val mjpeg = frames.reduce(_ ++ _)
+    // boundary scan finds exactly the encoder's frame ranges
+    assert(JvmCodec.mjpegFrames(mjpeg).size == 3)
+    assert(JvmCodec.mjpegFrames(frames.head).isEmpty,
+      "a single JPEG is an image, not a container")
+    // container decode: frame-0 dimensions, true frame count
+    assert(Codec.decode(mjpeg)._1 == 24)
+    assert(Codec.decode(mjpeg)._2 == 18)
+    assert(Codec.decode(mjpeg)._3 == 3)
+    // the full sampling stage: every frame REAL (decoded=true, PNG raster
+    // of the stream's dimensions) — the video seam is closed for MJPEG
+    val media = Seq(Multimodal.MediaRow(1L, "video", mjpeg)).toDF()
+    val got = Multimodal.sampleFramePayloads(media, everyNth = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(got.forall(_.decoded), "every MJPEG frame must really decode")
+    got.zip(Seq(0x0000ff, 0x00ff00, 0xff0000)).foreach { case (f, rgb) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.payload))
+      assert(img != null && img.getWidth == 24 && img.getHeight == 18)
+      // JPEG is lossy; check the dominant channel survived the round-trip
+      val px = img.getRGB(12, 9)
+      val (r, g, b) = ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+      val dominant = Seq(b, g, r)(Seq(0x0000ff, 0x00ff00, 0xff0000).indexOf(rgb))
+      assert(dominant > 180, s"frame ${f.frame_idx}: rgb=($r,$g,$b)")
+    }
+    // out-of-range answers None, never throws
+    assert(JvmCodec.extractFrame(mjpeg, 3).isEmpty)
+  }
 }

@@ -37,10 +37,22 @@ class PlanSpec extends SparkTestBase {
 
   test("d2 LSH verify: shingle self-join inputs are candidate-pruned (semi-joins)") {
     // the Jaccard-verify stage must semi-join the shingle table to the LSH
-    // candidate ids BEFORE the inverted-index self-join — otherwise the
-    // verify pays the all-pairs cost LSH exists to avoid
-    val p = planOf("d2_minhash_lsh")
-    assert(p.contains("LeftSemi"), "verify stage is not candidate-pruned")
+    // candidate ids BEFORE the set aggregation — otherwise the verify pays
+    // the all-pairs cost LSH exists to avoid. The doc-set subtree is
+    // lineage-truncated (staged) since round 15, so the semi-join lives in
+    // a STAGED subtree's plan, not the final one — read the Stage capture.
+    spark.conf.set("spark.graft.capturePlans", "true")
+    try {
+      graft.core.Stage.captured.clear()
+      val p = planOf("d2_minhash_lsh")
+      val staged = new scala.collection.mutable.StringBuilder(p)
+      graft.core.Stage.captured.forEach(s => staged.append('\n').append(s))
+      assert(staged.toString.contains("LeftSemi"),
+        "verify stage is not candidate-pruned")
+    } finally {
+      spark.conf.set("spark.graft.capturePlans", "false")
+      graft.core.Stage.captured.clear()
+    }
   }
 
   test("d5 embedding near-dup: banded-SRP equi-join, no nested-loop blowup") {

@@ -24,7 +24,9 @@ def main() -> None:
     for key in ("queries", "rep_times", "plan_sha", "stream_events_per_sec",
                 "stream_state"):
         merged[key] = {**a.get(key, {}), **b.get(key, {})}
-    for key in ("noisy", "failed", "plan_changed"):
+    # "concurrent" (round 15+): poisoner JVMs seen by either chunk; chunks
+    # recorded by an older Bench simply contribute nothing
+    for key in ("noisy", "failed", "plan_changed", "concurrent"):
         merged[key] = sorted(set(a.get(key, [])) | set(b.get(key, [])))
     stream_names = set(merged.get("stream_events_per_sec", {}))
     batch = {k: v for k, v in merged["queries"].items()
