@@ -12,12 +12,26 @@ import graft.functions.Portable
   *
   *  - '''exact''': hash-groupBy on a normalized fingerprint — one shuffle on
   *    a 60-bit key, map-side partial aggregation.
-  *  - '''MinHash + LSH''': shingle → 64 minhashes → 32 bands × 2 rows →
-  *    bucket self-join → exact-Jaccard verify. Only bucket-collision pairs are
-  *    verified, so the candidate join is linear-ish in data size instead of
-  *    O(n²); at a 0.8 threshold the banding catches a true pair with
-  *    p = 1-(1-s²)^32 (≥ 1-5e-15 for s ≥ 0.8), so verified output equals the
-  *    exact pair set on any realistic corpus.
+  *  - '''MinHash + LSH''': shingle → 96 minhashes → 24 bands × 4 rows →
+  *    bucket self-join → exact-Jaccard verify. Only bucket-collision pairs
+  *    are verified; a true pair at Jaccard s is caught with
+  *    p = 1-(1-s⁴)^24 (≥ 1-3.2e-6 at s = 0.8, ≥ 1-1e-15 at s ≥ 0.9), so
+  *    verified output equals the exact pair set on any realistic corpus.
+  *
+  *    Rows-per-band r is the SCALE lever, not a tuning nicety (the same
+  *    physics as [[Similarity.rForCorpus]] for cosine banding): an
+  *    uncorrelated pair at background Jaccard J̄ collides in ≥1 band with
+  *    p ≈ b·J̄^r, so junk candidates are n²/2 · b·J̄^r — quadratic in the
+  *    corpus with a constant-factor prune. The former r=2/b=32 ran out of
+  *    pruning power exactly at the third measured decade: on the
+  *    low-entropy bench corpus (30-word vocabulary ⇒ J̄ ≈ 1e-3) junk grew
+  *    4M → 400M pairs from sf10 to sf100 and the verify join's scratch
+  *    ENOSPC'd. r=4 cuts the junk rate J̄²-fold (~10⁶× here) for 1.5× the
+  *    signature arithmetic; 96 permutations also stay under Spark's
+  *    codegen maxFields=100 so the wide min-aggregate keeps whole-stage
+  *    codegen. At 100 TB with a higher-entropy corpus the same r=4 is a
+  *    2⁻⁶⁴-grade prune; a LOWER-entropy corpus needs r grown further —
+  *    the parameters stay caller-settable for exactly that.
   *  - '''SimHash''': 32-bit signature from token hashes; pairs within hamming
   *    distance ≤ 3 found by 4-byte banding — pigeonhole-exact (≤3 differing
   *    bits over 4 bands ⇒ ≥1 band identical), so banding loses nothing while
@@ -128,7 +142,7 @@ object Dedup {
     * order — band b concatenates mh{b·r}..mh{b·r+r-1} from the wide
     * signature row (a projection + explode, no extra aggregation). */
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-      numPerm: Int = 64, rowsPerBand: Int = 2): DataFrame =
+      numPerm: Int = 96, rowsPerBand: Int = 4): DataFrame =
     bucketsOfShingles(
       hashedShingleTable(docs, idCol, textCol, 3).repartition(col("id")),
       numPerm, rowsPerBand)
@@ -160,7 +174,7 @@ object Dedup {
     * LSH candidate generation + exact verification. Output (id_a, id_b,
     * jaccard rounded to 4) — equals the exact pair set (see class doc). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, numPerm: Int = 64, rowsPerBand: Int = 2,
+      threshold: Double = 0.8, numPerm: Int = 96, rowsPerBand: Int = 4,
       shingleN: Int = 3): DataFrame = {
     // the HASHED shingle table feeds BOTH the signature build and the
     // verify — materialize it once (tokenize + explode + distinct is the
@@ -249,8 +263,8 @@ object Dedup {
     * 8 GB broadcast ceiling. Verification is linear in candidate pairs,
     * never corpus². */
   def minhashLshCrossPairs(corpus: DataFrame, ref: DataFrame, idCol: String,
-      textCol: String, threshold: Double = 0.8, numPerm: Int = 64,
-      rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+      textCol: String, threshold: Double = 0.8, numPerm: Int = 96,
+      rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
     val shA = hashedShingleTable(corpus, idCol, textCol, shingleN)
       .repartition(col("id")).stage()
     val shB = hashedShingleTable(ref, idCol, textCol, shingleN)
