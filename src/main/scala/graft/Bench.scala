@@ -270,12 +270,30 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
+    // Feed shape: small tiers replay as ONE batch (round-comparable with
+    // every prior recording); above the chunking policy's threshold the
+    // events table is materialized ONCE as a time-ordered multi-file feed
+    // so the watermark advances and evicts state between micro-batches —
+    // the arrival shape a real feed has, and the difference between
+    // month-deep and hours-deep join state (sf100 st6: see SCALE.md).
+    // Prep is reported separately (`stream_feed`), not folded into the
+    // per-query wall: a live feed arrives time-ordered for free.
+    val feedChunks = graft.core.Engine.streamFeedChunks(sfDir)
+    val (feedDir, feedPrepSec): (Option[String], Double) =
+      if (feedChunks > 1) {
+        val t0 = System.nanoTime()
+        val dir = EventStream.timeOrderedFeed(spark, sfDir,
+          s"${sys.props("java.io.tmpdir")}/graft_stream_feed", feedChunks)
+        (Some(dir), (System.nanoTime() - t0) / 1e9)
+      } else (None, 0.0)
+    def eventsSrc(): org.apache.spark.sql.DataFrame =
+      feedDir.map(EventStream.readFeedStream(spark, _))
+        .getOrElse(EventStream.readStream(spark, sfDir))
     val streamDefs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "st5_stream_session_window" ->
-        (() => EventStream.sessionWindowStats(EventStream.readStream(spark, sfDir))),
+        (() => EventStream.sessionWindowStats(eventsSrc())),
       "st6_stream_interval_join" ->
-        (() => EventStream.sameUserRecentPairs(
-          EventStream.readStream(spark, sfDir), EventStream.readStream(spark, sfDir))))
+        (() => EventStream.sameUserRecentPairs(eventsSrc(), eventsSrc())))
     // streams run one batch of reps (no re-run pass): noisy = that spread
     val streamResults: Seq[(String, Seq[Double], Boolean)] =
       streamDefs.filter(d => keep(d._1)).map { case (n, b) =>
@@ -375,7 +393,7 @@ object Bench {
       .mkString("{", ",", "}")
     val concurrent = (concurrentAtStart ++ concurrentGraftJvms()).distinct
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"stream_total_sec":${fmt(streamTotal)},"stream_events_per_sec":$streamEps,"stream_state":$streamState,"failed":$failed,"plan_changed":$planChanged,"concurrent":$concurrent,"reps":$reps,"shuffle":$shuffle,"sf":"$sfDir""""
+    val head = s""""metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"stream_total_sec":${fmt(streamTotal)},"stream_events_per_sec":$streamEps,"stream_state":$streamState,"stream_feed":{"chunks":$feedChunks,"prep_sec":${fmt(feedPrepSec)}},"failed":$failed,"plan_changed":$planChanged,"concurrent":$concurrent,"reps":$reps,"shuffle":$shuffle,"sf":"$sfDir""""
     val full = s"""{$head,"rep_times":$repTimes,"plan_sha":$planSha}"""
     // capture-proof artifact first, THEN the stdout line the driver tails.
     // The stdout line is the COMPACT form — totals, per-query min, noisy /

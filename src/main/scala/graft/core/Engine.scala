@@ -60,6 +60,22 @@ object Engine {
     math.min(math.max(4L, cores.toLong), math.max(4L,
       dataBytes(s"$dataDir/events.parquet") / (2L << 20))).toInt
 
+  /** Feed-chunking POLICY for replaying a static events tier as a stream
+    * (see `EventStream.timeOrderedFeed`): one time-ordered file per ~48 MB
+    * of events parquet, so each micro-batch carries bounded state and the
+    * watermark advances between batches. Small tiers stay at 1 chunk —
+    * the single-batch replay the round benches have always measured — so
+    * sf0.1 round-over-round comparability is untouched; the chunked path
+    * engages where it matters (sf10 → ~4, sf100 → ~40+), which is also
+    * the regime where single-batch replay measured 70×/decade on the
+    * stream-stream join (full-feed state depth; see SCALE.md). Capped at
+    * 64: beyond that, per-batch state-store commit files (one delta per
+    * store per partition per batch) dominate — the same fixed IO cost
+    * [[streamShuffleWidth]] documents. */
+  def streamFeedChunks(dataDir: String): Int =
+    math.min(64L, math.max(1L,
+      dataBytes(s"$dataDir/events.parquet") / (48L << 20))).toInt
+
   /** In-memory (executor-heap) state store — Spark's default provider. */
   val HdfsStateStore =
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"

@@ -39,17 +39,75 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType =
       spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    normalizeTs(streamReader(spark, tsType)
+      .option("pathGlobFilter", glob)
+      .parquet(sfDir), tsType)
+  }
+
+  private def streamReader(spark: SparkSession, tsType: DataType) = {
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", glob)
-      .parquet(sfDir)
+    spark.readStream.schema(schema)
+  }
+
+  private def normalizeTs(raw: DataFrame, tsType: DataType): DataFrame =
     tsType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
+
+  /** Materialize the events table as a TIME-ORDERED multi-file feed:
+    * `chunks` parquet files range-partitioned on `ts`, renamed to
+    * `chunk-%05d.parquet` in range order with strictly increasing
+    * modification times, so a file stream replays them oldest-first.
+    *
+    * Why this exists (measured, sf100): replaying a whole month of events
+    * as ONE micro-batch pins the watermark at 0 for the entire run — the
+    * stream-stream interval join buffers BOTH full sides (~20 GB of
+    * RocksDB state, 200M row updates) and every probe scans month-deep
+    * state through JNI; st6 measured 1903 s (70×/decade, vs ~10× for the
+    * batch queries). A real 100 TB/day feed does not arrive as one batch —
+    * files land in (roughly) event-time order, the watermark advances
+    * between micro-batches, and state stays `interval + chunk-span` deep
+    * instead of feed-lifetime deep. This helper reproduces that arrival
+    * shape from a static tier. Because the chunks are time-ordered, no row
+    * is late: watermark eviction only removes state that can no longer
+    * match (Spark derives the join-state watermark from the interval
+    * bounds), so the output set is identical to the single-batch replay —
+    * asserted by StreamingSpec's chunked-feed equivalence tests. */
+  def timeOrderedFeed(spark: SparkSession, sfDir: String, feedDir: String,
+      chunks: Int): String = {
+    import org.apache.hadoop.fs.Path
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.repartitionByRange(chunks, col("ts"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(feedDir)
+    val dir = new Path(feedDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // task index == range-partition index, so name order == time order
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (src, i) =>
+      val dst = new Path(dir, f"chunk-$i%05d.parquet")
+      require(fs.rename(src, dst), s"rename failed: $src")
+      fs.setTimes(dst, base + i * 1000L, -1)
+    }
+    feedDir
+  }
+
+  /** Stream over a [[timeOrderedFeed]] directory: one chunk per
+    * micro-batch (`maxFilesPerTrigger=1`, oldest-mtime first — the file
+    * source's default order), so the watermark advances and evicts state
+    * between chunks exactly as it would on a live file feed. */
+  def readFeedStream(spark: SparkSession, feedDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(feedDir).schema("ts").dataType
+    normalizeTs(streamReader(spark, tsType)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "chunk-*.parquet")
+      .parquet(feedDir), tsType)
   }
 
   /** Watermarked tumbling-window counts per event type. */

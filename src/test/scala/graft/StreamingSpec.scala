@@ -207,6 +207,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got == exp && got.nonEmpty)
   }
 
+  test("time-ordered chunked feed matches the single-batch stream results") {
+    // The chunked feed exists so the watermark advances (and state evicts)
+    // between micro-batches at scale; because chunks are time-ordered no
+    // row is ever late, so the OUTPUT must be identical to the one-batch
+    // replay — for both stateful shapes the bench measures over it.
+    import org.apache.spark.sql.DataFrame
+    val feed = EventStream.timeOrderedFeed(spark, sfDir,
+      s"${sys.props("java.io.tmpdir")}/graft_test_feed", 3)
+
+    def run(df: DataFrame, name: String): Set[String] = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect().map(_.mkString("|")).toSet
+    }
+
+    val joinSingle = run(EventStream.sameUserRecentPairs(
+      EventStream.readStream(spark, sfDir),
+      EventStream.readStream(spark, sfDir)), "cf_join_single")
+    val joinChunked = run(EventStream.sameUserRecentPairs(
+      EventStream.readFeedStream(spark, feed),
+      EventStream.readFeedStream(spark, feed)), "cf_join_chunked")
+    assert(joinChunked == joinSingle && joinSingle.nonEmpty)
+
+    val sessSingle = run(EventStream.sessionWindowStats(
+      EventStream.readStream(spark, sfDir)), "cf_sess_single")
+    val sessChunked = run(EventStream.sessionWindowStats(
+      EventStream.readFeedStream(spark, feed)), "cf_sess_chunked")
+    assert(sessChunked == sessSingle && sessSingle.nonEmpty)
+  }
+
   test("ingest-dedup broadcast hint is budget-gated, not unconditional") {
     import graft.streaming.DocStream
     val docs = Tables.load(spark, sfDir, "documents")

@@ -28,6 +28,10 @@ def main() -> None:
     # recorded by an older Bench simply contribute nothing
     for key in ("noisy", "failed", "plan_changed", "concurrent"):
         merged[key] = sorted(set(a.get(key, [])) | set(b.get(key, [])))
+    # "stream_feed" (round 15+): the feed shape belongs to whichever chunk
+    # actually ran stream entries; chunks from an older Bench contribute none
+    if b.get("stream_events_per_sec") and "stream_feed" in b:
+        merged["stream_feed"] = b["stream_feed"]
     stream_names = set(merged.get("stream_events_per_sec", {}))
     batch = {k: v for k, v in merged["queries"].items()
              if k not in stream_names and v is not None}
