@@ -270,30 +270,30 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }
-    // Feed shape: small tiers replay as ONE batch (round-comparable with
-    // every prior recording); above the chunking policy's threshold the
-    // events table is materialized ONCE as a time-ordered multi-file feed
-    // so the watermark advances and evicts state between micro-batches —
-    // the arrival shape a real feed has, and the difference between
-    // month-deep and hours-deep join state (sf100 st6: see SCALE.md).
-    // Prep is reported separately (`stream_feed`), not folded into the
-    // per-query wall: a live feed arrives time-ordered for free.
-    val feedChunks = graft.core.Engine.streamFeedChunks(sfDir)
+    // Feed shape: the JOIN-BUFFERED entry (st6) replays a time-ordered
+    // multi-file feed when the chunking policy says state depth is the
+    // bottleneck (RocksDB regime only — see Engine.streamFeedChunks for
+    // both measured directions); the KEYED-MERGE entry (st5) always
+    // replays single-batch, which measured faster at every tier. Prep is
+    // reported separately (`stream_feed`), not folded into the per-query
+    // wall: a live feed arrives time-ordered for free.
+    val feedChunks = sys.env.get("SPARK_GRAFT_FEED_CHUNKS").map(_.toInt)
+      .getOrElse(graft.core.Engine.streamFeedChunks(sfDir, joinBuffered = true))
     val (feedDir, feedPrepSec): (Option[String], Double) =
-      if (feedChunks > 1) {
+      if (feedChunks > 1 && keep("st6_stream_interval_join")) {
         val t0 = System.nanoTime()
         val dir = EventStream.timeOrderedFeed(spark, sfDir,
           s"${sys.props("java.io.tmpdir")}/graft_stream_feed", feedChunks)
         (Some(dir), (System.nanoTime() - t0) / 1e9)
       } else (None, 0.0)
-    def eventsSrc(): org.apache.spark.sql.DataFrame =
+    def joinSrc(): org.apache.spark.sql.DataFrame =
       feedDir.map(EventStream.readFeedStream(spark, _))
         .getOrElse(EventStream.readStream(spark, sfDir))
     val streamDefs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "st5_stream_session_window" ->
-        (() => EventStream.sessionWindowStats(eventsSrc())),
+        (() => EventStream.sessionWindowStats(EventStream.readStream(spark, sfDir))),
       "st6_stream_interval_join" ->
-        (() => EventStream.sameUserRecentPairs(eventsSrc(), eventsSrc())))
+        (() => EventStream.sameUserRecentPairs(joinSrc(), joinSrc())))
     // streams run one batch of reps (no re-run pass): noisy = that spread
     val streamResults: Seq[(String, Seq[Double], Boolean)] =
       streamDefs.filter(d => keep(d._1)).map { case (n, b) =>

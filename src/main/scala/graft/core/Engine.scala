@@ -61,20 +61,39 @@ object Engine {
       dataBytes(s"$dataDir/events.parquet") / (2L << 20))).toInt
 
   /** Feed-chunking POLICY for replaying a static events tier as a stream
-    * (see `EventStream.timeOrderedFeed`): one time-ordered file per ~48 MB
-    * of events parquet, so each micro-batch carries bounded state and the
-    * watermark advances between batches. Small tiers stay at 1 chunk —
-    * the single-batch replay the round benches have always measured — so
-    * sf0.1 round-over-round comparability is untouched; the chunked path
-    * engages where it matters (sf10 → ~4, sf100 → ~40+), which is also
-    * the regime where single-batch replay measured 70×/decade on the
-    * stream-stream join (full-feed state depth; see SCALE.md). Capped at
-    * 64: beyond that, per-batch state-store commit files (one delta per
-    * store per partition per batch) dominate — the same fixed IO cost
-    * [[streamShuffleWidth]] documents. */
-  def streamFeedChunks(dataDir: String): Int =
-    math.min(64L, math.max(1L,
-      dataBytes(s"$dataDir/events.parquet") / (48L << 20))).toInt
+    * (see `EventStream.timeOrderedFeed`). Chunking bounds STATE DEPTH: the
+    * watermark only advances between micro-batches, so a one-batch replay
+    * buffers the whole feed (sf100 stream-stream join: ~20 GB of RocksDB
+    * state, month-deep probes, 1903 s = 70×/decade). But every extra
+    * micro-batch pays a per-store-per-partition commit cost AND re-touches
+    * any state row that spans batches, so whether chunking wins is a
+    * property of the OPERATOR's state shape, both directions measured at
+    * sf100 (8 chunks, RocksDB):
+    *
+    *  - JOIN-BUFFERED state (stream-stream joins): every probe scans the
+    *    key's full buffered history, so cost ∝ state depth — chunking
+    *    halves the wall (st6 991 s vs 1903 s) by cutting probe depth from
+    *    month-deep (~67 rows/key) to chunk+interval-deep (~8).
+    *  - KEYED-MERGE state (session windows, keyed aggs): each batch
+    *    re-reads and rewrites every live key it touches, so chunking
+    *    MULTIPLIES row updates (185.9M vs 98.5M) and the wall
+    *    (st5 368 s vs 140 s) — single-batch replay stays right.
+    *
+    * On top of the shape gate, the provider gate: in the in-memory regime
+    * ([[stateStoreProvider]]'s quarter-heap projection) even join state is
+    * cheap to hold and per-batch commits dominate (sf10: 4-chunk feed ran
+    * st6 1.5× slower than single-batch), so chunking engages only when
+    * the SAME projection has already pushed state to RocksDB. Chunk count
+    * is one per ~256 MB of events parquet, capped at 16: the measured
+    * sf100 cost fit (fixed ~720 s JNI put/get + probe ∝ depth/chunks +
+    * commit ∝ chunks) is flat-bottomed around 8, and 16 already pays more
+    * commit than it saves in probe depth. */
+  def streamFeedChunks(dataDir: String, joinBuffered: Boolean,
+      maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Int =
+    if (!joinBuffered ||
+        stateStoreProvider(dataDir, maxHeapBytes) != RocksDbStateStore) 1
+    else math.min(16L, math.max(2L,
+      dataBytes(s"$dataDir/events.parquet") / (256L << 20))).toInt
 
   /** In-memory (executor-heap) state store — Spark's default provider. */
   val HdfsStateStore =
@@ -231,6 +250,17 @@ object Engine {
         "true")
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
         "false")
+      // RocksDB NATIVE memory: by default every store instance gets its
+      // own 64 MB memtable + 8 MB block cache — a stream-stream join at
+      // width 32 runs 128 instances, so probes against multi-GB state hit
+      // an 8 MB cache and read SSTs from disk. Bound the native budget to
+      // ONE shared pool (quarter of the heap-equivalent, capped 16 GB) so
+      // hot state stays cached; env-overridable for A/B probes. */
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+        "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_MEM_MB",
+          math.min(16384L, Runtime.getRuntime.maxMemory() / (4L << 20)).toString))
       // reclaim checkpoint files of dereferenced frames: self-contained
       // files, so (unlike shuffle cleanup) a clean cannot strand a reader
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
