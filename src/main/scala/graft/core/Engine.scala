@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Central SparkSession factory for the engine.
   *
@@ -39,6 +39,23 @@ object Engine {
     * one JVM). */
   def shuffleWidth(dataDir: String, cores: Int): Int =
     math.min(4096L, math.max(cores.toLong, dataBytes(dataDir) / (16L << 20))).toInt
+
+  /** Spread a CPU-dense projection's input across the session's policy
+    * width, EXPLICITLY. A bare `repartition(key)` is a user repartition
+    * without a pinned partition count, so AQE's byte-based coalescing is
+    * free to fold it down — and does: the dedup/ANN spreads carry a few MB
+    * of hashed rows whose downstream cost is FLOPS (md5 shingle hashing,
+    * 96 minhash permutations, ×nplanes hyperplane dots), not bytes, and at
+    * the bench tier AQE folded them to 1–2 tasks, serializing the whole
+    * pipeline on one core (measured r15: d2 summed task time ≈ wall; d8
+    * 1.48 s → 0.89 s once the projection ran wide). Pinning the count to
+    * the session's policy width (`spark.sql.shuffle.partitions`, which
+    * [[shuffleWidth]] already derives from tier bytes) keeps those stages
+    * at engine parallelism at every tier; at the big tiers partitions are
+    * large enough that coalescing never fired anyway, so this changes
+    * nothing there. */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
 
   /** Shuffle width for STATEFUL STREAMING queries — same width-∝-data
     * policy, different constants, because the cost model differs: every

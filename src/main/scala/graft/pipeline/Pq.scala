@@ -59,8 +59,8 @@ object Pq {
     val spark = corpus.sparkSession
     import spark.implicits._
     import graft.functions.Portable
-    val vsub = subvectors(corpus, idCol, vecCol, m, dim)
-      .repartition(col("id")).stage()
+    val vsub = graft.core.Engine.spread(
+      subvectors(corpus, idCol, vecCol, m, dim), col("id")).stage()
     // seeds: the k lowest-hash vectors donate their subvector to EVERY
     // subspace's codebook. The k-row pick is a TakeOrdered limit (never a
     // global window over the corpus); the row_number window then runs on

@@ -44,8 +44,9 @@ object Similarity {
     // repartition: a single-file corpus read is one partition, and the
     // whole |corpus|×|queries| cosine grid until the rank exchange would
     // run on one core (same reasoning as Dedup.minhashes)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .repartition(col("neighbor_id"))
+    val c = graft.core.Engine.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      col("neighbor_id"))
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -85,8 +86,8 @@ object Similarity {
     // corpus (assignments + means each iteration) — materialize the
     // repartitioned working set once instead of re-reading and re-shuffling
     // the source every job
-    val v = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(col("id")).stage()
+    val v = graft.core.Engine.spread(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id")).stage()
     // deterministic seeding: k vectors with the smallest id-hash
     var cents: Seq[(Int, Seq[Double])] = v
       .withColumn("h", Portable.hash32(col("id").cast("string")))
@@ -334,7 +335,18 @@ object Similarity {
     val rhs = v.withColumn("k1", explode(sequence(lit(0), col("g"))))
       .select(col("k1"), col("g").as("k2"),
         col("id").as("id_y"), col("v").as("vy"), col("nrm").as("ny"))
-    lhs.join(rhs, Seq("k1", "k2"))
+    // co-partition BOTH sides on the bucket key at the session's policy
+    // width, explicitly (r15): the planner's own ENSURE exchange is
+    // byte-sized and AQE-coalescible, and the bucket rows are a few MB that
+    // fan out into n²/2 dot products — the bench tier measured the whole
+    // quadratic core folded onto ONE task. An explicit width pins the join
+    // at engine parallelism (the join's required clustering is exactly
+    // (k1, k2), so these exchanges REPLACE the planner's, not add to them);
+    // at big tiers the shuffled bytes are large enough that coalescing
+    // never fired, so the plan there is unchanged.
+    val w = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    lhs.repartition(w, col("k1"), col("k2"))
+      .join(rhs.repartition(w, col("k1"), col("k2")), Seq("k1", "k2"))
       // same-block bucket sees both orders → keep one; cross-block buckets
       // see the pair once in arbitrary id order → keep it whichever way
       .filter((col("k1") =!= col("k2") && col("id_x") =!= col("id_y")) ||
@@ -393,8 +405,8 @@ object Similarity {
   def srpBuckets(corpus: DataFrame, idCol: String, vecCol: String,
       nbits: Int = 16): DataFrame = {
     val pl = planesLit(nbits)
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(col("id")) // spread the ×nbits projection (see bruteForceTopK)
+    graft.core.Engine.spread(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
       .select(col("id"), aggregate(
         sequence(lit(nbits - 1), lit(0), lit(-1)), lit(0L),
         (acc, p) => acc * 2 + when(dot(col("v"), element_at(pl, p + 1)) > 0, 1L)
@@ -468,8 +480,8 @@ object Similarity {
     // exchange and no ×nplanes row-blowup behind them
     val bits = transform(sequence(lit(0), lit(nplanes - 1)),
       p => when(dot(col("v"), element_at(pl, p + 1)) > 0, 1L).otherwise(0L))
-    val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(col("id")) // spread the ×nplanes projection (see bruteForceTopK)
+    val banded = graft.core.Engine.spread(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
       .select(col("id"), bits.as("bits"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(numBands - 1)), b =>

@@ -201,13 +201,34 @@ object Headline {
          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer")
-        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      // lineitem is the STREAM side (r15): the old customer⋈orders-first
+      // spelling made lineitem the next join's BUILD side, so at every tier
+      // where its pruned-column estimate fit, the planner BROADCAST the
+      // fact table — a single-threaded 600k-row hashed-relation build at
+      // sf0.1. Fixing the build side at plan time is not possible without
+      // CBO (any join output's size estimate is a product, so the
+      // orders⋈customer key table always "looks" huge), so the spelling
+      // leans on AQE instead: lineitem first picks up s_nationkey through
+      // the tiny always-broadcast supplier dim, which makes BOTH sides of
+      // the big join be join outputs — it plans as a sort-merge join and
+      // AQE converts it from TRUE runtime sizes (bench tiers: broadcast of
+      // the ~45k-row key table, fact side streamed through a local shuffle
+      // read; big tiers: stays SMJ). Inner-join conditions move freely, so
+      // the row set is unchanged — the c_nationkey = s_nationkey predicate
+      // rides the key-table join instead of the supplier join.
+      val oc = Tables.load(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.load(s, dir, "supplier"),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .select("o_orderkey", "o_custkey")
+        .join(Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(oc, col("l_orderkey") === col("o_orderkey") &&
+          col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")

@@ -110,9 +110,14 @@ object EventStream {
       .parquet(feedDir), tsType)
   }
 
-  /** Watermarked tumbling-window counts per event type. */
+  /** Watermarked tumbling-window counts per event type. Input is projected
+    * to the three referenced columns BEFORE the watermark (r15, guide §2.3
+    * "project before the exchange"): a stateful op's exchange and state
+    * rows otherwise carry every source column — including the ~100 B
+    * `props` JSON string — for an aggregate that reads three. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
+      .select("ts", "event_type", "value")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -126,6 +131,7 @@ object EventStream {
     * watermark — the shape that holds on an unbounded feed. */
   def distinctUsersPerWindow(events: DataFrame): DataFrame =
     events
+      .select("ts", "user_id", "event_type") // project-early: see windowedCounts
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .groupBy(col("event_type"))
@@ -140,6 +146,7 @@ object EventStream {
   def enrichedCountsByNation(events: DataFrame, customer: DataFrame,
       nation: DataFrame): DataFrame =
     events
+      .select("ts", "user_id") // project-early: see windowedCounts
       .withWatermark("ts", "1 hour")
       .join(customer, col("user_id") === col("c_custkey"))
       .join(nation, col("c_nationkey") === col("n_nationkey"))
@@ -154,6 +161,7 @@ object EventStream {
     * formulation (w3) cannot run at all. */
   def sessionWindowStats(events: DataFrame, gap: String = "10 minutes"): DataFrame =
     events
+      .select("ts", "user_id") // project-early: see windowedCounts
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -166,7 +174,14 @@ object EventStream {
     * a feed-to-feed correlation at 100 TB/day); matched pairs emit in
     * append mode once both rows have arrived. */
   def sameUserRecentPairs(left: DataFrame, right: DataFrame): DataFrame = {
-    val a = left.withWatermark("ts", "1 hour")
+    // project-early matters MOST here: a stream-stream join BUFFERS every
+    // input column of both sides in the state store for the full
+    // watermark+interval horizon — unprojected, each buffered left row
+    // carried event_type/value/props (~100 B of JSON) that the join never
+    // reads. State bytes are the measured cost of this operator at every
+    // tier (commit_ms locally, RocksDB JNI probes at sf100), so a 3-col
+    // buffer row is a direct multiplier on both.
+    val a = left.select("event_id", "user_id", "ts").withWatermark("ts", "1 hour")
     val b = right
       .select(col("event_id").as("prior_event_id"),
         col("user_id").as("b_user_id"), col("ts").as("b_ts"))
