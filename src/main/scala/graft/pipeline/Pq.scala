@@ -179,30 +179,45 @@ object Pq {
   /** Per-query ADC lookup tables: (query_id, qn, lut, nlut) where
     * `lut[sub][code]` is the EXACT sub-dot-product of the query's subvector
     * against that codebook centroid and `nlut` its squared norm — m·k
-    * doubles per query, the whole table broadcast-sized. */
+    * doubles per query, the whole table broadcast-sized.
+    *
+    * Computed DRIVER-SIDE (r15): every consumer immediately wraps the
+    * result in `broadcast(...)`, i.e. collects it to the driver anyway, and
+    * the query set is broadcast-small BY CONTRACT — yet the old spelling
+    * ran a 3-exchange distributed pipeline (subvector explode → codebook
+    * join → two collect_list re-aggregations) to produce those ≤|queries|
+    * rows. The driver fold is the exact arithmetic twin of the codegen'd
+    * [[graft.functions.DotProduct]] kernel (strict left-to-right double
+    * accumulation), so every pdot/qn bit matches the old plan's values and
+    * ADC ranking is unchanged; sim5/sim6 stay oracle-green. */
   private def queryLuts(queries: DataFrame, books: Seq[Codebook],
       idCol: String, vecCol: String, m: Int, dim: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centDF = broadcast(books
-      .map(b => (b.sub, b.code, b.centroid, b.centroid.map(x => x * x).sum))
-      .toDF("sub", "code", "cvec", "cnorm2"))
-    val q = subvectors(queries, idCol, vecCol, m, dim)
-      .join(queries.select(col(idCol).as("id"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("qn")), Seq("id"))
-    q.join(centDF, Seq("sub"))
-      .select(col("id").as("query_id"), col("qn"), col("sub"), col("code"),
-        dot(col("sv"), col("cvec")).as("pdot"), col("cnorm2"))
-      .groupBy("query_id", "qn", "sub")
-      .agg(array_sort(collect_list(struct(col("code"), col("pdot"), col("cnorm2"))))
-        .as("percode"))
-      .groupBy("query_id", "qn")
-      .agg(array_sort(collect_list(struct(col("sub"), col("percode")))).as("persub"))
-      .select(col("query_id"), col("qn"),
-        transform(col("persub"), s =>
-          transform(s.getField("percode"), c => c.getField("pdot"))).as("lut"),
-        transform(col("persub"), s =>
-          transform(s.getField("percode"), c => c.getField("cnorm2"))).as("nlut"))
+    val subLen = dim / m
+    val bySub: Seq[Seq[Codebook]] = books.groupBy(_.sub).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.code))
+    // same fold order as DotProduct.nullSafeEval: s += x(i) * y(i)
+    def fold(x: Seq[Double], y: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    val rows = queries
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().toSeq.map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1)
+        val qn = math.sqrt(fold(v, v))
+        val lut = bySub.zipWithIndex.map { case (cbs, s) =>
+          val sv = v.slice(s * subLen, (s + 1) * subLen)
+          cbs.map(b => fold(sv, b.centroid))
+        }
+        val nlut = bySub.map(_.map(_.centroid.map(x => x * x).sum))
+        (id, qn, lut, nlut)
+      }
+    rows.toDF("query_id", "qn", "lut", "nlut")
   }
 
   /** ADC score columns over a candidate set carrying (codes, lut, nlut). */

@@ -300,9 +300,19 @@ object HeadlineExt {
         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, dir) =>
-      val perSupp = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"),
-          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_r"))
+      // ONE exchange for both census levels (r15): hash-spread the fact
+      // rows by l_orderkey up front — HashPartitioning(l_orderkey) satisfies
+      // the clustering of BOTH the (orderkey, suppkey) census and the
+      // per-order rollup, so neither aggregation plans its own exchange.
+      // The per-(ok, sk) partial agg barely reduced this fact table (~4
+      // lines/order over ~4 suppliers), so the single raw-row shuffle
+      // carries the same bytes the old first exchange did and the old
+      // SECOND exchange disappears outright — fewer shuffles at every tier.
+      val perSupp = graft.core.Engine.spread(
+          Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey"),
+              when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_r")),
+          col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(sum(col("is_r")).as("r_rows"))
       val soleBlame = perSupp.groupBy("l_orderkey")

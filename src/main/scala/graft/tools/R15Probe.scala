@@ -304,6 +304,32 @@ object R15Probe {
           threshold = 0.8).count()))
     }
 
+    if (which("stream")) {
+      import graft.streaming.EventStream
+      def once(tag: String, build: () => org.apache.spark.sql.DataFrame): Unit = {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          graft.core.Engine.streamShuffleWidth(sfDir, cpus.toInt).toString)
+        val t0 = System.nanoTime()
+        val q = build().writeStream.format("noop")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        val t1 = System.nanoTime()
+        try q.processAllAvailable() finally q.stop()
+        val t2 = System.nanoTime()
+        println(f"[r15] $tag start=${(t1 - t0) / 1e9}%5.2f run=${(t2 - t1) / 1e9}%5.2f")
+        q.recentProgress.foreach { p =>
+          println(s"[r15]   batch=${p.batchId} durationMs=${p.durationMs}")
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+      }
+      (1 to 2).foreach { i =>
+        once(s"st5($i)", () => EventStream.sessionWindowStats(
+          EventStream.readStream(spark, sfDir)))
+        once(s"st6($i)", () => EventStream.sameUserRecentPairs(
+          EventStream.readStream(spark, sfDir), EventStream.readStream(spark, sfDir)))
+      }
+    }
+
     if (which("micro")) {
       val docs = Tables.load(spark, sfDir, "documents")
       (1 to 3).foreach(i => timed(s"micro: empty job $i")(
