@@ -203,6 +203,10 @@ object Pq {
       while (i < x.length) { s += x(i) * y(i); i += 1 }
       s
     }
+    // lut/nlut are FLAT m·k arrays in (sub, code) order: one element_at
+    // per ADC lookup instead of a nested per-subspace array extraction —
+    // the shortlist stage evaluates them once per scored candidate (4M
+    // rows at the sf10 probe)
     val rows = queries
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -210,37 +214,60 @@ object Pq {
         val id = r.getLong(0)
         val v = r.getSeq[Double](1)
         val qn = math.sqrt(fold(v, v))
-        val lut = bySub.zipWithIndex.map { case (cbs, s) =>
+        val lut = bySub.zipWithIndex.flatMap { case (cbs, s) =>
           val sv = v.slice(s * subLen, (s + 1) * subLen)
           cbs.map(b => fold(sv, b.centroid))
         }
-        val nlut = bySub.map(_.map(_.centroid.map(x => x * x).sum))
+        val nlut = bySub.flatMap(_.map(_.centroid.map(x => x * x).sum))
         (id, qn, lut, nlut)
       }
     rows.toDF("query_id", "qn", "lut", "nlut")
   }
 
-  /** ADC score columns over a candidate set carrying (codes, lut, nlut). */
-  private def adcScore(cands: DataFrame): DataFrame = cands
-    .withColumn("adot",
-      aggregate(zip_with(col("codes"), col("lut"),
-        (c, l) => element_at(l, c + 1)), lit(0.0d), (acc, x) => acc + x))
-    .withColumn("anorm2",
-      aggregate(zip_with(col("codes"), col("nlut"),
-        (c, l) => element_at(l, c + 1)), lit(0.0d), (acc, x) => acc + x))
+  /** Probe hooks for tools.R15Probe: expose the private lut/score pieces
+    * to the dev probe without widening the public API surface. */
+  private[graft] def probedLutsForProbe(queries: DataFrame, books: Seq[Codebook],
+      idCol: String, vecCol: String, m: Int, dim: Int): DataFrame =
+    queryLuts(queries, books, idCol, vecCol, m, dim)
+  private[graft] def adcScoreForProbe(cands: DataFrame, m: Int = 8,
+      k: Int = 16): DataFrame = adcScore(cands, m, k)
+
+  /** ADC score columns over a candidate set carrying (codes, lut, nlut).
+    *
+    * The sums are UNROLLED over the m subspaces (r15): the previous
+    * `aggregate(zip_with(codes, lut, …))` spelling is a higher-order
+    * expression pair — CodegenFallback, interpreted per row with lambda
+    * variable binding — and at the sf10 probe its evaluation over the 4M
+    * scored candidate rows was ~15 s of sim6's ~20 s wall. m is a
+    * compile-time constant, so the same strict left-to-right double sum
+    * (bit-identical fold order: ((t0+t1)+t2)…) becomes a chain of
+    * codegen'd `element_at` lookups inside WholeStageCodegen. `lit(0.0) +`
+    * leads the chain to keep the exact +0.0-first accumulation of the old
+    * fold. */
+  private def adcSum(m: Int, k: Int, flat: Column): Column =
+    (0 until m).foldLeft(lit(0.0d): Column) { (acc, s) =>
+      acc + element_at(flat, element_at(col("codes"), s + 1) + lit(s * k + 1))
+    }
+
+  private def adcScore(cands: DataFrame, m: Int, k: Int): DataFrame = cands
+    .withColumn("adot", adcSum(m, k, col("lut")))
+    .withColumn("anorm2", adcSum(m, k, col("nlut")))
     .withColumn("adc_cosine",
       round(col("adot") / (col("qn") * sqrt(col("anorm2"))), 6))
 
   def adcTopK(codes: DataFrame, books: Seq[Codebook], queries: DataFrame,
       idCol: String, vecCol: String, k: Int, m: Int, dim: Int): DataFrame = {
+    val nCodes = books.map(_.code).max + 1
     val lut = queryLuts(queries, books, idCol, vecCol, m, dim)
     val scored = adcScore(codes.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(lut))
-      .filter(col("neighbor_id") =!= col("query_id")))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("adc_cosine"), asc("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adc_cosine", "rank")
+      .filter(col("neighbor_id") =!= col("query_id")), m, nCodes)
+      // project-early (r15): the rank window's exchange otherwise carries
+      // the per-query lut/nlut arrays (~2 KB/row) on every scored row —
+      // Catalyst does not prune them below the Window, and at the sf10
+      // probe that exchange was ~90% of the whole query's wall
+      .select("query_id", "neighbor_id", "adc_cosine")
+    Similarity.rankTopK(scored, k, "adc_cosine")
   }
 
   /** Build-once cell-partitioned codes for IVF-PQ: encode the INDEX's own
@@ -313,27 +340,33 @@ object Pq {
       case None => encode(corpusProbed, idCol, "__v", books, m, dim)
         .join(corpusProbed.select(col(idCol), col("cell")), Seq(idCol))
     }
+    val nCodes = books.map(_.code).max + 1
     val lut = queryLuts(q.select(col("query_id").as(idCol),
       transform(col("qv"), x => x.cast("double")).as("__v")), books, idCol, "__v", m, dim)
     val shortlisted = adcScore(
         codes.select(col(idCol).as("neighbor_id"), col("codes"), col("cell"))
           .join(probed.join(broadcast(lut), Seq("query_id")), Seq("cell"))
-          .filter(col("neighbor_id") =!= col("query_id")))
-      .withColumn("srank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("adc_cosine"), asc("neighbor_id"))))
-      .filter(col("srank") <= shortlist)
+          .filter(col("neighbor_id") =!= col("query_id")), m, nCodes)
+      // project-early (r15): see adcTopK — without this the shortlist
+      // stage exchanged 4M rows × ~2.2 KB of lut/nlut at the sf10 tier
+      // (measured 13.8 s of sim6's ~20 s). The per-query shortlist cut
+      // itself runs on the bounded-heap TopK operator: same order and
+      // tie-break as the row_number window it replaces, but the exchange
+      // carries at most shortlist·queries·partitions rows instead of every
+      // ADC-scored candidate.
+      .select("query_id", "neighbor_id", "adc_cosine")
+    val shortlistTop = graft.plans.TopK.perKey(shortlisted, Seq("query_id"),
+        "adc_cosine", shortlist, tiebreak = Seq(-col("neighbor_id")))
       .select("query_id", "neighbor_id")
     // exact rerank of the shortlist only
-    val exact = shortlisted
+    val exact = shortlistTop
       .join(corpusProbed.select(col(idCol).as("neighbor_id"), col("__v").as("cv")),
         Seq("neighbor_id"))
       .join(q.select(col("query_id"),
         transform(col("qv"), x => x.cast("double")).as("qvd"), col("qn")), Seq("query_id"))
       .withColumn("cosine", round(dot(col("qvd"), col("cv")) /
         (col("qn") * Similarity.norm(col("cv"))), 6))
-    exact.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .select("query_id", "neighbor_id", "cosine") // project-early: see adcTopK
+    Similarity.rankTopK(exact, k)
   }
 }

@@ -53,11 +53,30 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      // project-early (r15, guide §2.3): the rank window's exchange
+      // otherwise carries BOTH 64-dim vectors (~0.5 KB) on every scored
+      // row — Catalyst does not prune columns below the Window here, and
+      // the measured cost of the whole query was that exchange
+      .select("query_id", "neighbor_id", "cosine")
+    rankTopK(scored, k)
   }
+
+  /** Per-query top-k of a projected (query_id, neighbor_id, cosine) frame:
+    * the bounded-heap [[graft.plans.TopK]] operator keeps the k best rows
+    * per query (map-side partial heaps, so the exchange carries at most
+    * k·queries·partitions rows instead of EVERY scored candidate — at the
+    * sf10 probe the window form exchanged and sorted 4M rows per query
+    * set), then a row_number window over the ≤ k·|queries| survivors
+    * assigns the rank. Ordering and tie-break (cosine DESC, neighbor_id
+    * ASC) are identical to the window-only form, so the kept set and ranks
+    * are row-for-row the same. */
+  private[pipeline] def rankTopK(scored: DataFrame, k: Int,
+      scoreCol: String = "cosine"): DataFrame =
+    graft.plans.TopK.perKey(scored, Seq("query_id"), scoreCol, k,
+        tiebreak = Seq(-col("neighbor_id")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc(scoreCol), asc("neighbor_id"))))
+      .select(col("query_id"), col("neighbor_id"), col(scoreCol), col("rank"))
 
   /** Per-cell centroids: mean per dimension. Plain double means on purpose —
     * centroid choice only affects WHICH cells are probed, never the exact
@@ -263,10 +282,8 @@ object Similarity {
     val scored = c.join(probed, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .select("query_id", "neighbor_id", "cosine") // project-early: see bruteForceTopK
+    rankTopK(scored, k)
   }
 
   /** Write the corpus partitioned by its cell column — the IVF index

@@ -374,6 +374,56 @@ object R15Probe {
         }
       }
     }
+
+    if (which("sim6p")) {
+      import graft.pipeline.{Pq, Similarity}
+      import graft.queries.Pipeline.{cachedIvfDir, plantedQueries}
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val idx = Similarity.ivfBuildCached(e, "embedding", "label",
+        cachedIvfDir(sfDir, "sim2", "cellCol=label"))
+      val ed = e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val base = cachedIvfDir(sfDir, "sim6",
+        s"pq,m=8,k=16,iters=2,cellCol=label,pqv${Pq.PqBuildVersion}")
+      val books = timed("sim6p: books")(Pq.trainCodebooksCached(ed, "vec_id", "v",
+        m = 8, k = 16, iters = 2, dim = 64, base + "_books", spark))
+      val codesPath = timed("sim6p: codes cache")(Pq.encodeCellsCached(spark, idx,
+        "vec_id", "embedding", "label", books, m = 8, dim = 64, base + "_cellcodes"))
+      val planted = plantedQueries(e)
+        .select(col("vec_id"), transform(col("v"), x => x.cast("float")).as("embedding"))
+      timed("sim6p: centroids read")(Similarity.readCentroids(spark, idx).count())
+      val cent = Similarity.readCentroids(spark, idx).withColumnRenamed("label", "cell")
+      val q = planted.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumn("qn", Similarity.norm(col("qv")))
+      val probed = Pq.probedCells(cent, q, nprobe = 4)
+      timed("sim6p: probe+collect")(println(
+        probed.select("cell").distinct().collect().mkString(",")))
+      val codes = spark.read.parquet(codesPath)
+      println(s"[r15] sim6p codes rows=${timed("sim6p: codes count")(codes.count())}")
+      timed("sim6p: ivfPqTopK full")(Pq.ivfPqTopK(spark, idx, books, planted,
+        "vec_id", "embedding", "label", m = 8, dim = 64, k = 5, nprobe = 4,
+        shortlist = 25, codesPath = Some(codesPath)).count())
+      timed("sim6p: ivfPqTopK again")(Pq.ivfPqTopK(spark, idx, books, planted,
+        "vec_id", "embedding", "label", m = 8, dim = 64, k = 5, nprobe = 4,
+        shortlist = 25, codesPath = Some(codesPath)).count())
+      // bisect inside the query path: ADC join volume, ADC+window, rerank
+      val lutQ = q.select(col("query_id").as("vec_id"),
+        transform(col("qv"), x => x.cast("double")).as("__v"))
+      val probedJ = probed.join(
+        Pq.probedLutsForProbe(lutQ, books, "vec_id", "__v", 8, 64), Seq("query_id"))
+      val codesCells = codes.select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
+      val joined = codesCells.join(probedJ, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+      println(s"[r15] sim6p scored rows=${timed("sim6p: join only")(joined.count())}")
+      val adc = Pq.adcScoreForProbe(joined)
+      timed("sim6p: join+ADC")(adc.count())
+      import org.apache.spark.sql.expressions.Window
+      timed("sim6p: join+ADC+window") {
+        adc.withColumn("srank", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("adc_cosine"), asc("neighbor_id"))))
+          .filter(col("srank") <= 25).count()
+      }
+    }
     spark.stop()
   }
 
