@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails `sbt "runMain graft.Bench"` stdout for the bench's
+// one-line JSON. sbt's default LoggedOutput strategy routes the forked
+// JVM's output through the sbt logger, decorating every line with
+// `[info] `/`[error] ` — which has broken the driver's JSON parse since
+// round 13 (`BENCH_r13..r15.json`: `parsed: null`). StdoutOutput passes
+// the forked process's stdout/stderr through UNDECORATED, and disabling
+// the `[success] Total time: …` epilogue makes the bench's JSON the last
+// line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — exclude it
+// from the unused-key lint so the warning doesn't decorate driver runs
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -173,6 +173,27 @@ object Engine {
   def broadcastBudget(maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
     math.min(2L << 30, maxHeapBytes / 8)
 
+  /** Budget-gate an explicit broadcast hint on a side whose size SCALES
+    * with the tier (the same policy `Dedup.minhashLshCrossPairs` /
+    * `Similarity.gatedVecBroadcast` apply with operator-specific row-size
+    * models): under budget the hint is planted, over it the hint is
+    * omitted and the join plans shuffled — degraded, never dead at Spark's
+    * 8 GB broadcast ceiling or a driver OOM. `estimatedBytes` is the
+    * caller's hashed-relation estimate (e.g. parquet bytes × an expansion
+    * factor); fixed-cardinality dims (nation/region) keep their
+    * unconditional hints. */
+  def gatedBroadcast(df: DataFrame, estimatedBytes: Long,
+      budget: Long = broadcastBudget()): DataFrame =
+    if (estimatedBytes <= budget)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+
+  /** Hashed-relation bytes per parquet byte for a broadcast estimate:
+    * snappy/dictionary-encoded parquet expands ~4–6× into UnsafeRow form
+    * and the relation adds bucket/pointer overhead; 8× is the conservative
+    * ceiling (same spirit as [[StagedBytesFactor]]). */
+  val BroadcastBytesPerParquetByte = 8L
+
   /** Deserialized staged-intermediate bytes per tier parquet byte. The
     * evictable objects are the STAGED frames (shingle tables, LSH bucket
     * tables, SRP signatures), which are multiples of the source tier:

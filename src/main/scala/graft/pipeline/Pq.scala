@@ -39,6 +39,26 @@ object Pq {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dotProduct(a, b)
 
+  /** Codebooks grouped per subspace in (sub, code) order, with the DENSITY
+    * guard the flat-LUT layout depends on: [[adcSum]] indexes the flat m·k
+    * arrays as `s·k + code`, and [[encode]]'s nested literals index
+    * `cents[s][c]` over 0 ≤ c < k — both silently read the WRONG subspace's
+    * entry if any per-sub codebook has a missing code id (e.g. an empty
+    * cluster from a future training change). Training currently always
+    * emits dense 0..k-1 codes per subspace (seeds cover every code; empty
+    * cells keep their previous centroid), so this never fires today — it
+    * exists to make a violation fail loudly instead of mis-ranking. */
+  private[pipeline] def denseBySub(books: Seq[Codebook], m: Int): Seq[Seq[Codebook]] = {
+    val k = books.map(_.code).max + 1
+    val bySub = books.groupBy(_.sub).toSeq.sortBy(_._1).map(_._2.sortBy(_.code))
+    require(bySub.map(_.head.sub) == (0 until m) &&
+        bySub.forall(cbs => cbs.map(_.code) == (0 until k)),
+      s"PQ codebooks must be DENSE m×k (flat s*k+code indexing): expected " +
+        s"every sub in 0..${m - 1} to carry codes 0..${k - 1}, got " +
+        bySub.map(cbs => s"sub=${cbs.head.sub}:${cbs.size} codes").mkString(", "))
+    bySub
+  }
+
   /** Subvector table: (id, sub, sv) — one row per (vector, subspace),
     * produced by a single generator over the corpus scan. */
   private def subvectors(corpus: DataFrame, idCol: String, vecCol: String,
@@ -141,9 +161,9 @@ object Pq {
       books: Seq[Codebook], m: Int, dim: Int): DataFrame = {
     val subLen = dim / m
     val k = books.map(_.code).max + 1
-    // [sub][code] -> centroid / |centroid|², in (sub, code) order
-    val bySub: Seq[Seq[Codebook]] = books.groupBy(_.sub).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.code))
+    // [sub][code] -> centroid / |centroid|², in (sub, code) order;
+    // density-guarded — the nested literals are indexed positionally
+    val bySub: Seq[Seq[Codebook]] = denseBySub(books, m)
     val cents = typedLit(bySub.map(_.map(_.centroid)))
     val norms = typedLit(bySub.map(_.map(_.centroid.map(x => x * x).sum)))
     val codes = transform(sequence(lit(0), lit(m - 1)), s => {
@@ -195,8 +215,8 @@ object Pq {
     val spark = queries.sparkSession
     import spark.implicits._
     val subLen = dim / m
-    val bySub: Seq[Seq[Codebook]] = books.groupBy(_.sub).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.code))
+    // density-guarded: adcSum's flat s·k+code indexing depends on it
+    val bySub: Seq[Seq[Codebook]] = denseBySub(books, m)
     // same fold order as DotProduct.nullSafeEval: s += x(i) * y(i)
     def fold(x: Seq[Double], y: Seq[Double]): Double = {
       var s = 0.0; var i = 0
@@ -317,16 +337,42 @@ object Pq {
       .filter(col("crank") <= nprobe)
       .select("query_id", "cell")
 
+  /** [[probedCells]] computed EAGERLY to a driver-local relation (r16,
+    * VERDICT #7): every consumer needs the probe result at least twice —
+    * the probed-cell literal list for the pruned read (a collect by
+    * construction) AND a join input in the scoring plan — so the lazy
+    * frame re-ran the crossJoin+rank-window subtree once per consumer (the
+    * sim6 bench entry executed it three times: cells collect, shortlist
+    * join, gate census) and dragged a window exchange into every plan.
+    * The result is ≤ |queries|·nprobe rows BY CONTRACT (both factors are
+    * query-side parameters, never corpus-sized), so it collects once per
+    * invocation — same rows, same values, recomputed from the inputs every
+    * call — and downstream plans see a LocalTableScan the planner
+    * broadcasts from exact statistics. */
+  private[graft] def probedCellsLocal(cent: DataFrame, q: DataFrame,
+      nprobe: Int): DataFrame = {
+    val pc = probedCells(cent, q, nprobe)
+    val rows = pc.collect()
+    pc.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pc.schema)
+  }
+
+  /** `probedOpt`: a precomputed [[probedCellsLocal]] result for this exact
+    * (index, queries, nprobe) triple — callers that need the probe census
+    * themselves (sim6's gate) pass it in so the probe job runs once per
+    * invocation instead of once per consumer. */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       books: Seq[Codebook], queries: DataFrame, idCol: String, vecCol: String,
       cellCol: String, m: Int, dim: Int, k: Int, nprobe: Int,
-      shortlist: Int, codesPath: Option[String] = None): DataFrame = {
+      shortlist: Int, codesPath: Option[String] = None,
+      probedOpt: Option[DataFrame] = None): DataFrame = {
     val cent = Similarity.readCentroids(spark, indexPath)
       .withColumnRenamed(cellCol, "cell")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", Similarity.norm(col("qv")))
-    val probed = probedCells(cent, q, nprobe)
-    val cells = probed.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val probed = probedOpt.getOrElse(probedCellsLocal(cent, q, nprobe))
+    // local relation: the distinct cell list is a driver map, not a job
+    val cells = probed.collect().map(_.get(1)).distinct.toSeq
     // codes for the probed cells only (each corpus row lives in exactly one
     // cell, so the cell join never duplicates a candidate): read the
     // cell-partitioned cache when present, else encode the probed subset

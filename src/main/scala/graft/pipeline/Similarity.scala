@@ -266,15 +266,23 @@ object Similarity {
       .withColumnRenamed(cellCol, "cell")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    // probe the nprobe closest centroids per query
-    val probed = q.crossJoin(broadcast(cent))
+    // probe the nprobe closest centroids per query — computed EAGERLY to a
+    // driver-local relation (r16, same rationale as Pq.probedCellsLocal):
+    // the lazy frame executed this crossJoin+rank-window subtree TWICE per
+    // query (the cells collect and the scoring join) and dragged the
+    // window's exchange into the main plan; the result is ≤
+    // |queries|·nprobe rows by contract, so one collect serves both.
+    val probedLazy = q.crossJoin(broadcast(cent))
       .withColumn("cdist", round(dot(col("qv"), col("centroid")) /
         (col("qn") * norm(col("centroid"))), 6))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cdist"), asc("cell"))))
       .filter(col("crank") <= nprobe)
       .select("query_id", "qv", "qn", "cell")
-    val cells = probed.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val probedRows = probedLazy.collect()
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probedLazy.schema)
+    val cells = probedRows.map(_.get(3)).distinct.toSeq
     val c = readProbedCells(spark, indexPath, cellCol, cells)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col(cellCol).as("cell"))

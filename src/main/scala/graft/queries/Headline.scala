@@ -223,9 +223,19 @@ object Headline {
         .join(Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
+      // supplier SCALES with SF (10k rows/SF), so its hint is budget-gated
+      // (r16, VERDICT #3): an explicit broadcast() overrides the size
+      // threshold and at a genuine 100 TB tier would be a multi-GB
+      // driver-built relation. Under Engine.broadcastBudget the plan is
+      // unchanged (bench tiers: supplier is KBs); over it the hint is
+      // omitted and AQE still broadcasts wherever runtime sizes fit.
+      val supplier = graft.core.Engine.gatedBroadcast(
+        Tables.load(s, dir, "supplier"),
+        graft.core.Engine.dataBytes(s"$dir/supplier.parquet") *
+          graft.core.Engine.BroadcastBytesPerParquetByte)
       Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(broadcast(Tables.load(s, dir, "supplier")),
+        .join(supplier,
           col("l_suppkey") === col("s_suppkey"))
         .join(oc, col("l_orderkey") === col("o_orderkey") &&
           col("c_nationkey") === col("s_nationkey"))

@@ -501,14 +501,19 @@ object Pipeline {
         "label", books, m = 8, dim = 64, base + "_cellcodes")
       val planted = plantedQueries(e)
         .select(col("vec_id"), transform(col("v"), x => x.cast("float")).as("embedding"))
-      val ann = Pq.ivfPqTopK(s, idx, books, planted, "vec_id", "embedding",
-        "label", m = 8, dim = 64, k = 5, nprobe = 4, shortlist = 25,
-        codesPath = Some(codesPath))
-      // which planted originals' cells did the production probe reach?
+      // ONE probe job per invocation (r16): the gate census needs the same
+      // (index, queries, nprobe=4) probe the ANN path runs — compute the
+      // local probed table once and hand it to both consumers. Same rows,
+      // same values as the two lazy replicas it replaces.
       val cent = Similarity.readCentroids(s, idx).withColumnRenamed("label", "cell")
       val q = planted.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
         .withColumn("qn", Similarity.norm(col("qv")))
-      val probedOrig = Pq.probedCells(cent, q, nprobe = 4)
+      val probedLocal = Pq.probedCellsLocal(cent, q, nprobe = 4)
+      val ann = Pq.ivfPqTopK(s, idx, books, planted, "vec_id", "embedding",
+        "label", m = 8, dim = 64, k = 5, nprobe = 4, shortlist = 25,
+        codesPath = Some(codesPath), probedOpt = Some(probedLocal))
+      // which planted originals' cells did the production probe reach?
+      val probedOrig = probedLocal
         .join(s.read.parquet(idx)
           .filter(col("vec_id") < 50)
           .select((col("vec_id") + 10000).as("query_id"), col("label").as("cell")),
@@ -640,7 +645,7 @@ object Pipeline {
       val cloneProbed = s.read.parquet(path)
         .filter(col("vec_id") >= 10000000L)
         .select((col("vec_id") - 10000000L).as("query_id"), col("cell"))
-        .join(graft.pipeline.Pq.probedCells(cent, q, nprobe = 3),
+        .join(graft.pipeline.Pq.probedCellsLocal(cent, q, nprobe = 3),
           Seq("query_id", "cell"))
         .select(col("query_id"), lit(1).as("cp"))
       val floor = Similarity.ivfTopK(s, path, queries,

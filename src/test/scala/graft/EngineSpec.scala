@@ -158,6 +158,22 @@ class EngineSpec extends SparkTestBase {
     }
   }
 
+  test("gatedBroadcast hints under the budget and passes through over it") {
+    val df = spark.range(10).toDF("id")
+    val hinted = graft.core.Engine.gatedBroadcast(df, estimatedBytes = 1L << 20)
+    assert(hinted.queryExecution.logical.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.nonEmpty, "under-budget side must carry a broadcast hint")
+    // over budget: the SAME frame comes back unhinted (q5's supplier path —
+    // the join degrades to shuffled/AQE-chosen instead of a driver-built
+    // multi-GB relation at a big tier)
+    val big = graft.core.Engine.gatedBroadcast(df, estimatedBytes = 1L << 20,
+      budget = 0L)
+    assert(big.queryExecution.logical eq df.queryExecution.logical,
+      "over-budget side must pass through unhinted")
+  }
+
   test("every oracle name is a declared query and every query runs") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))

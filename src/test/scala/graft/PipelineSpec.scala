@@ -387,6 +387,21 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.count() == expected)
   }
 
+  test("PQ rejects sparse codebooks loudly (flat s*k+code indexing guard)") {
+    import graft.pipeline.Pq
+    // sub 1 is missing code 1: the flat-LUT / nested-literal layouts would
+    // silently read the wrong subspace's entry — must throw instead
+    val sparse = Seq(
+      Pq.Codebook(0, 0, Seq(1.0, 0.0)), Pq.Codebook(0, 1, Seq(0.0, 1.0)),
+      Pq.Codebook(1, 0, Seq(1.0, 1.0)))
+    val corpus = emb.select(col("vec_id"),
+      slice(transform(col("embedding"), x => x.cast("double")), 1, 4).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Pq.encode(corpus, "vec_id", "v", sparse, m = 2, dim = 4).count()
+    }
+    assert(e.getMessage.contains("DENSE"), e.getMessage)
+  }
+
   test("PQ-ADC retrieves planted near-dups and holds a measured recall floor") {
     import graft.pipeline.Pq
     val corpus = graft.queries.Pipeline.plantedNearDupCorpus(emb)
