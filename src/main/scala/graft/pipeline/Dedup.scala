@@ -184,11 +184,17 @@ object Dedup {
     // materialized footprint ~8 B/shingle instead of the raw string.
     val sh = hashedShingleTable(docs, idCol, textCol, shingleN)
       .repartition(col("id")).stage()
-    // materialize the bucket table once: the self-join consumes it twice
-    // and would otherwise recompute the whole shingle->signature subtree
-    // per side (and estimate its size blind, scattering one-off broadcast
-    // jobs). One computation, accurate stats, both sides read the blocks.
-    val b = bucketsOfShingles(sh, numPerm, rowsPerBand).stage()
+    // UNSTAGED (r16): the band self-join's two sides are canonically
+    // identical subtrees over the staged shingle table, so their
+    // (band, sig) exchanges dedupe to ONE ReusedExchange — the bucket
+    // table is computed once either way, and dropping the materialization
+    // removes a corpus-sized localCheckpoint/durable-checkpoint write
+    // (n·numBands rows — GBs at sf100) from the chain. Measured: sf0.1
+    // 1.88 → 1.87 s with identical shuffle bytes (8.84 MB — the proof the
+    // exchange is shared), −2 jobs; sf1 7.50 → 6.90 s. (d4's prefix table
+    // stays staged: its window subtree is NOT above a reusable exchange,
+    // and the same A/B measured +5% wall, +33% task time unstaged.)
+    val b = bucketsOfShingles(sh, numPerm, rowsPerBand)
     // the candidate table is consumed THREE times downstream (the id
     // census plus both verify joins): staged, so (a) the band self-join
     // subtree runs once, and (b) — the peak-scratch point — the self-join
@@ -363,7 +369,9 @@ object Dedup {
       .join(sizes, Seq("id"))
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select("id", "h", "n", "rank")
-      .stage()
+      .stage() // A/B'd unstaged (r16): +5% wall, +33% task time — the
+               // window subtree recomputes per join side (exchange reuse
+               // does not cover it), so the materialization stays
     // positional filter (PPJoin, Xiao et al. WWW'08): a match on shingle s
     // at ranks (ra, rb) bounds the overlap by 1 + min(na-ra, nb-rb); a pair
     // whose bound can't reach the required minimum overlap

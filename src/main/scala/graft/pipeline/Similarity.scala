@@ -514,10 +514,14 @@ object Similarity {
             (acc, i) => acc * 2 +
               element_at(col("bits"), b * bitsPerBand + i + 1)))))
       .toDF("id", "band", "bucket")
-      // materialize once: the self-join consumes the band table twice and
-      // would otherwise re-run the ×nplanes projection per side (same
-      // rationale as minhashLshPairs' bucket checkpoint); n·b small rows
-      .stage()
+      // UNSTAGED (r16, the d2 ReusedExchange treatment): the self-join's
+      // sides are canonically identical subtrees, so their (band, bucket)
+      // exchanges dedupe to ONE ReusedExchange and the ×nplanes projection
+      // runs once either way — the materialization only added a second
+      // copy of the band table to the chain. Measured (same probe, min of
+      // 3): sf0.1 1.59 → 1.50 s, Σtask 12.3 → 4.8 s; sf1 2.60 → 2.41 s,
+      // Σtask 22.9 → 20.2 s, shuffle 14.1 → 7.9 MB (the shared exchange);
+      // at sf100 this drops a corpus×bands-sized checkpoint write.
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

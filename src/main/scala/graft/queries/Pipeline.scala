@@ -89,6 +89,12 @@ object Pipeline {
     f.delete()
   }
 
+  /** Compressed-text-bytes threshold above which t5 stages its tf
+    * projection (one corpus scan instead of two): measured crossover
+    * between 0.6 MB (staging regresses, fixed localCheckpoint cost) and
+    * 5.5 MB (staging wins 33%) — see the t5 def. */
+  private[graft] val TfStageTierBytes = 2L << 20
+
   /** The d8 fixture corpus: embeddings (as double vectors, column `v`) plus
     * a planted near-duplicate of each vec_id < 50 — id offset +10000, first
     * component nudged +0.05. Deterministic, so DuckDB replays it exactly. */
@@ -764,11 +770,26 @@ object Pipeline {
         |        + tf3 * ln((n + 1.0) / (df3 + 1.0)), 4) AS tfidf
         |FROM s, d
         |ORDER BY tfidf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
-      val tf = Tables.load(s, dir, "documents").select(
+      // tier-keyed staging (r16): the doc-frequency aggregate AND the final
+      // scoring both consume tf, so the unstaged form scans documents twice
+      // and runs the 3 regexp_counts per doc TWICE — measured as the whole
+      // of t5's first-decade 5.3×/decade excess. Staging tf (4 numbers per
+      // doc, ~1/40 of the text bytes) halves that: sf1 1.63 → 1.08 s. But
+      // the materialization has a fixed ~0.2 s cost that swamps the win on
+      // a sub-MB corpus (sf0.1: 0.31 → 0.48 s), so it engages above a
+      // measured text-bytes threshold — same policy shape as Engine.ioCodec
+      // / durableStagePolicy: crossover measured between 0.6 MB (regresses)
+      // and 5.5 MB (wins) of compressed text.
+      val tfRaw = Tables.load(s, dir, "documents").select(
         col("doc_id"),
         regexp_count(lower(col("text")), lit("\\bspark\\b")).as("tf1"),
         regexp_count(lower(col("text")), lit("\\bquery\\b")).as("tf2"),
         regexp_count(lower(col("text")), lit("\\bhash\\b")).as("tf3"))
+      val tf =
+        if (graft.core.Engine.dataBytes(s"$dir/documents.parquet") > TfStageTierBytes) {
+          import graft.core.Stage.Staged
+          tfRaw.stage()
+        } else tfRaw
       val d = tf.agg(
         count(lit(1)).as("n"),
         count(when(col("tf1") > 0, 1)).as("df1"),
