@@ -34,6 +34,14 @@ object Bench {
     * fingerprint exists to attribute. */
   private[graft] def maskPlan(plan: String): String =
     plan
+      // Exchange/Subquery nodes print their plan_id — a SESSION-GLOBAL
+      // counter, so any variation in what ran earlier in the session
+      // (index-cache hit vs build, a noisy re-run batch, feed chunking)
+      // shifts every later query's ids. This is what made q21/d5 appear in
+      // `plan_changed` on EVERY bench run since r13: their canonicalized
+      // plans keep a user-repartition Exchange line that prints the id.
+      // Masked (r16) — node type, partitioning, and width stay visible.
+      .replaceAll("""\[plan_id=\d+\]""", "[plan_id=N]")
       // InMemoryFileIndex(1 paths)[file:/tmp/...] and any file:/ URI token
       .replaceAll("""InMemoryFileIndex\([^)]*\)\[[^\]]*\]""", "InMemoryFileIndex[MASKED]")
       .replaceAll("""file:/[^\s\]),]*""", "file:MASKED")

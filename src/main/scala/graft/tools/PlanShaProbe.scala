@@ -15,7 +15,11 @@ object PlanShaProbe {
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val names = if (args.nonEmpty) args.toSeq else graft.queries.Headline.benchNames
+    // SPARK_GRAFT_PLAN_EXEC: run each query (N×) before canonicalizing, to
+    // reproduce the bench's compute-shas-after-the-reps geometry
+    val execReps = sys.env.get("SPARK_GRAFT_PLAN_EXEC").map(_.toInt).getOrElse(0)
     names.foreach { name =>
+      (1 to execReps).foreach(_ => SparkEntry.queries(name)(spark, sfDir).count())
       val plan = Bench.maskPlan(SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.canonicalized.toString)
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/$name.plan"),

@@ -27,6 +27,15 @@ object StreamProbe {
         graft.core.Engine.streamShuffleWidth(sfDir,
           spark.sparkContext.defaultParallelism))
     println(s"shuffle.partitions=${spark.conf.get("spark.sql.shuffle.partitions")}")
+    // r16 A/B hooks: RocksDB SST/changelog compression codec and changelog
+    // checkpointing toggle (VERDICT #4 — state-commit cost at the RocksDB
+    // tier). Session-conf sets are picked up at stream start.
+    sys.env.get("SPARK_GRAFT_ROCKSDB_COMPRESSION").foreach(c =>
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.compression", c))
+    sys.env.get("SPARK_GRAFT_CHANGELOG").foreach(c =>
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", c))
+    println(s"stateStore=${spark.conf.get("spark.sql.streaming.stateStore.providerClass")}")
 
     val defs: Seq[(String, () => DataFrame)] = Seq(
       "st5" -> (() => EventStream.sessionWindowStats(EventStream.readStream(spark, sfDir))),
